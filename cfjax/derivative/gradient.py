@@ -1,0 +1,382 @@
+"""Gradient kernels: cov(grad f(x), grad f(y)) — the flagship O(n^2 d) path.
+
+TPU-native rebuild of reference src/gradient.jl. The reference evaluates
+one lazy O(d)-storage block per pair and runs a threaded block loop
+(src/gramian.jl:241-257); here the *entire* block MVM is reorganized into
+a few dense matmuls per row-block (MXU-shaped, no per-pair work at all):
+
+isotropic trait (src/gradient.jl:86-92: block = -2 f' I - 4 f'' r r^T):
+    b_i = sum_j [-2 K1_ij A_j - 4 K2_ij r_ij <r_ij, A_j>]
+with r_ij = x_i - y_j expanded so that only
+    K1 @ A,  X A^T,  W @ Y,  rowsum(W) * X      (W = K2 * (X A^T - t))
+appear — four n x m x d matmuls, O(n m d) total like the reference's
+closed form, but saturating the MXU instead of scalar SIMD loops.
+
+dot-product trait (src/gradient.jl:109-115: block = f' I + f'' y x^T):
+    b = K1 @ A + (K2 * (X A^T)) @ Y
+
+stationary-linear-functional (src/gradient.jl:129-136: block = -f'' c c^T):
+    b = -(K2 @ (A c)) outer c
+
+The scalar derivative stacks come from jax.grad of the (possibly
+composite) profile — which is why Sum/Product/Power/Chained composites of
+one trait need no special-casing here (cf. src/gradient_algebra.jl).
+Heterogeneous-trait Sums are operator sums of per-term plans
+(src/gradient_algebra.jl:31-36); everything else falls back to a
+vmap-of-jacobian generic path (src/gradient.jl:27-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import DEFAULT
+from ..kernels.base import InputTrait, Kernel, MultiKernel, input_trait
+from ..kernels.derivatives import elementwise_derivatives
+from ..operators.gramian import slf_vector
+from ..operators.linop import LinearOperator, SumOperator, ZeroOperator
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_rows(x, block):
+    n = x.shape[0]
+    nb = _cdiv(n, block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(nb, block, x.shape[1])
+
+
+def _sqdist_tile(xb, y):
+    S = xb @ y.T
+    D = jnp.sum(xb * xb, 1)[:, None] + jnp.sum(y * y, 1)[None, :] - 2 * S
+    return jnp.maximum(D, 0.0)
+
+
+# --------------------------------------------------------------------------
+# trait-specialized full-gramian block MVMs
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("block",))
+def grad_matvec_iso(k, x, y, A, block=256):
+    """(n d) x (m d) gradient-gramian MVM, isotropic trait. A: (m, d)."""
+    t = jnp.sum(y * A, axis=1)  # <y_j, A_j>
+
+    def body(xb):
+        D = _sqdist_tile(xb, y)
+        _, k1, k2 = elementwise_derivatives(k.profile, D, 2)
+        P = xb @ A.T  # <x_i, A_j>
+        W = k2 * (P - t[None, :])
+        return -2.0 * (k1 @ A) - 4.0 * (jnp.sum(W, 1)[:, None] * xb - W @ y)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, x.shape[1])[: x.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def grad_matvec_dot(k, x, y, A, block=256):
+    def body(xb):
+        S = xb @ y.T
+        _, k1, k2 = elementwise_derivatives(k.profile, S, 2)
+        W = k2 * (xb @ A.T)
+        return k1 @ A + W @ y
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, x.shape[1])[: x.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def grad_matvec_slf(k, x, y, A, block=512):
+    c = slf_vector(k)
+    u = A @ c  # <c, A_j>
+    tx = x @ c
+    ty = y @ c
+
+    def body(tb):
+        T = tb[:, None] - ty[None, :]
+        _, _, k2 = elementwise_derivatives(k.profile, T, 2)
+        return -(k2 @ u)
+
+    tb = tx
+    nb = _cdiv(tb.shape[0], block)
+    pad = nb * block - tb.shape[0]
+    tbp = jnp.pad(tb, (0, pad)).reshape(nb, block)
+    w = lax.map(body, tbp).reshape(-1)[: x.shape[0]]
+    return w[:, None] * c[None, :]
+
+
+def _pair_block_apply(k):
+    """Generic per-pair (grad_x grad_y^T k) @ a (src/gradient.jl:27-42
+    fallback, via forward-over-reverse)."""
+
+    def f(xi, yj, aj):
+        gx = lambda y_: jax.grad(lambda x_: k(x_, y_))(xi)
+        _, jvp_val = jax.jvp(gx, (yj,), (aj,))
+        return jvp_val
+
+    return f
+
+
+@partial(jax.jit, static_argnames=("block",))
+def grad_matvec_generic(k, x, y, A, block=32):
+    pair = _pair_block_apply(k)
+
+    def body(xb):
+        def one_row(xi):
+            contribs = jax.vmap(lambda yj, aj: pair(xi, yj, aj))(y, A)
+            return jnp.sum(contribs, axis=0)
+
+        return jax.vmap(one_row)(xb)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, x.shape[1])[: x.shape[0]]
+
+
+# --------------------------------------------------------------------------
+# value+gradient (d+1 blocks) MVMs
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("block",))
+def valgrad_matvec_iso(k, x, y, a0, A, block=256):
+    """(1+d)-block MVM, isotropic: K = [[f, (grad_y f)^T], [grad_x f, GG]]
+    with grad_x k = 2 f' r, grad_y k = -2 f' r (reference
+    value_gradient_covariance!, src/gradient.jl:480-544)."""
+    t = jnp.sum(y * A, axis=1)
+
+    def body(xb):
+        D = _sqdist_tile(xb, y)
+        k0, k1, k2 = elementwise_derivatives(k.profile, D, 2)
+        P = xb @ A.T
+        R = P - t[None, :]  # <r_ij, A_j>
+        b0 = k0 @ a0 - 2.0 * jnp.sum(k1 * R, axis=1)
+        Wa = k1 * a0[None, :]
+        W = k2 * R
+        b1 = (
+            2.0 * (jnp.sum(Wa, 1)[:, None] * xb - Wa @ y)
+            - 2.0 * (k1 @ A)
+            - 4.0 * (jnp.sum(W, 1)[:, None] * xb - W @ y)
+        )
+        return jnp.concatenate([b0[:, None], b1], axis=1)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, 1 + x.shape[1])[: x.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def valgrad_matvec_dot(k, x, y, a0, A, block=256):
+    """(1+d)-block MVM, dot trait: grad_x k = f' y, grad_y k = f' x."""
+
+    def body(xb):
+        S = xb @ y.T
+        k0, k1, k2 = elementwise_derivatives(k.profile, S, 2)
+        P = xb @ A.T
+        b0 = k0 @ a0 + jnp.sum(k1 * P, axis=1)
+        b1 = (k1 * a0[None, :]) @ y + k1 @ A + (k2 * P) @ y
+        return jnp.concatenate([b0[:, None], b1], axis=1)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, 1 + x.shape[1])[: x.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def valgrad_matvec_generic(k, x, y, a0, A, block=32):
+    def pair(xi, yj, a0j, aj):
+        kv = k(xi, yj)
+        gy = jax.grad(lambda y_: k(xi, y_))(yj)
+        gx_fn = lambda y_: jax.grad(lambda x_: k(x_, y_))(xi)
+        gx = gx_fn(yj)
+        _, blk_a = jax.jvp(gx_fn, (yj,), (aj,))
+        b0 = kv * a0j + jnp.dot(gy, aj)
+        b1 = gx * a0j + blk_a
+        return b0, b1
+
+    def body(xb):
+        def one_row(xi):
+            b0s, b1s = jax.vmap(lambda yj, a0j, aj: pair(xi, yj, a0j, aj))(y, a0, A)
+            return jnp.concatenate([jnp.sum(b0s)[None], jnp.sum(b1s, 0)])
+
+        return jax.vmap(one_row)(xb)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, 1 + x.shape[1])[: x.shape[0]]
+
+
+# --------------------------------------------------------------------------
+# operators + kernel wrappers
+# --------------------------------------------------------------------------
+
+
+class GradientGramian(LinearOperator):
+    """Flat (n d) x (m d) lazy operator over d x d gradient blocks.
+
+    Flat vector layout is point-major: v[j*d + l] = A[j, l] (the analogue
+    of the reference's BlockFactorization flattening, src/gramian.jl:120-130)."""
+
+    def __init__(self, k, x, y=None, block=None):
+        from ..utils.grids import as_points
+
+        self.k = k
+        self.x = as_points(x)
+        self.y = self.x if y is None else as_points(y)
+        self._same = y is None
+        self.d = self.x.shape[1]
+        self.shape = (self.x.shape[0] * self.d, self.y.shape[0] * self.d)
+        self.dtype = jnp.result_type(self.x.dtype, float)
+        self.mode = _grad_mode(k)
+        self.block = block
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same
+
+    def _apply(self, A):
+        kws = {} if self.block is None else dict(block=self.block)
+        if self.mode == "iso":
+            return grad_matvec_iso(self.k, self.x, self.y, A, **kws)
+        if self.mode == "dot":
+            return grad_matvec_dot(self.k, self.x, self.y, A, **kws)
+        if self.mode == "slf":
+            return grad_matvec_slf(self.k, self.x, self.y, A, **kws)
+        return grad_matvec_generic(self.k, self.x, self.y, A, **kws)
+
+    def _matvec(self, v):
+        A = v.reshape(self.y.shape[0], self.d)
+        return self._apply(A).reshape(-1)
+
+
+def _grad_mode(k) -> str:
+    t = input_trait(k)
+    if t == InputTrait.ISOTROPIC:
+        return "iso"
+    if t == InputTrait.DOT:
+        return "dot"
+    if t == InputTrait.STATIONARY_LINEAR_FUNCTIONAL:
+        try:
+            slf_vector(k)
+            return "slf"
+        except ValueError:
+            return "generic"
+    return "generic"
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientKernel(MultiKernel):
+    """d x d matrix-valued kernel cov(grad f(x), grad f(y))
+    (reference GradientKernel, src/gradient.jl:7-24)."""
+
+    k: Kernel
+
+    def block_shape(self, d):
+        return (d, d)
+
+    def __call__(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        return jax.jacfwd(lambda y_: jax.grad(lambda x_: self.k(x_, y_))(x))(y)
+
+    def gramian(self, x, y=None, **opts):
+        from ..kernels.algebra import Sum
+        from ..kernels.stationary import Constant
+
+        k = self.k
+        if isinstance(k, Constant):
+            from ..utils.grids import as_points
+
+            xp = as_points(x)
+            d = xp.shape[1]
+            m = xp.shape[0] if y is None else as_points(y).shape[0]
+            return ZeroOperator((xp.shape[0] * d, m * d))
+        # heterogeneous-trait sum -> operator sum of per-term plans
+        # (src/gradient_algebra.jl:31-36)
+        if isinstance(k, Sum) and _grad_mode(k) == "generic":
+            terms = []
+            for a in k.args:
+                if isinstance(a, Constant):
+                    continue  # constants have zero gradient blocks
+                terms.append(GradientKernel(a).gramian(x, y, **opts))
+            if not terms:
+                from ..utils.grids import as_points
+
+                xp = as_points(x)
+                d = xp.shape[1]
+                return ZeroOperator((xp.shape[0] * d,) * 2)
+            return terms[0] if len(terms) == 1 else SumOperator(tuple(terms))
+        return GradientGramian(k, x, y, **opts)
+
+
+@dataclasses.dataclass(frozen=True)
+class ValueGradientKernel(MultiKernel):
+    """(1+d) x (1+d) matrix-valued kernel of (f, grad f) observations
+    (reference ValueGradientKernel, src/gradient.jl:400-474)."""
+
+    k: Kernel
+
+    def block_shape(self, d):
+        return (d + 1, d + 1)
+
+    def __call__(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        kv = self.k(x, y)
+        gx = jax.grad(lambda x_: self.k(x_, y))(x)
+        gy = jax.grad(lambda y_: self.k(x, y_))(y)
+        blk = jax.jacfwd(lambda y_: jax.grad(lambda x_: self.k(x_, y_))(x))(y)
+        top = jnp.concatenate([kv[None], gy])[None, :]
+        bottom = jnp.concatenate([gx[:, None], blk], axis=1)
+        return jnp.concatenate([top, bottom], axis=0)
+
+    def gramian(self, x, y=None, **opts):
+        return ValueGradientGramian(self.k, x, y, **opts)
+
+
+class ValueGradientGramian(LinearOperator):
+    """Flat (n (1+d)) x (m (1+d)) operator; layout per point: [value, grad...]."""
+
+    def __init__(self, k, x, y=None, block=None):
+        from ..utils.grids import as_points
+
+        self.k = k
+        self.x = as_points(x)
+        self.y = self.x if y is None else as_points(y)
+        self._same = y is None
+        self.d = self.x.shape[1]
+        D = self.d + 1
+        self.shape = (self.x.shape[0] * D, self.y.shape[0] * D)
+        self.dtype = jnp.result_type(self.x.dtype, float)
+        self.mode = _grad_mode(k)
+        self.block = block
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same
+
+    def _matvec(self, v):
+        D = self.d + 1
+        V = v.reshape(self.y.shape[0], D)
+        a0, A = V[:, 0], V[:, 1:]
+        kws = {} if self.block is None else dict(block=self.block)
+        if self.mode == "iso":
+            out = valgrad_matvec_iso(self.k, self.x, self.y, a0, A, **kws)
+        elif self.mode == "dot":
+            out = valgrad_matvec_dot(self.k, self.x, self.y, a0, A, **kws)
+        else:
+            out = valgrad_matvec_generic(self.k, self.x, self.y, a0, A, **kws)
+        return out.reshape(-1)

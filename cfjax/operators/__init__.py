@@ -1,0 +1,25 @@
+from .linop import (
+    DenseOperator,
+    DiagonalOperator,
+    FillOperator,
+    LinearOperator,
+    LowRankOperator,
+    ProductOperator,
+    ScaledOperator,
+    SumOperator,
+    ZeroOperator,
+)
+from .gramian import Gramian, gramian_dense, gramian_matvec
+from .toeplitz import (
+    CirculantOperator,
+    ToeplitzOperator,
+    circulant_matvec,
+    durbin,
+    levinson,
+    toeplitz_matvec,
+    trench,
+)
+from .kronecker import KroneckerCholesky, KroneckerOperator
+from .woodbury import WoodburyOperator
+from .solvers import CholeskyFactorization, cg, factorize, minres, solve
+from .dispatch import LambdaKernel, gramian

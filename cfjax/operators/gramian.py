@@ -1,0 +1,188 @@
+"""Lazy Gramian operator: O(1)-memory kernel matrix with blocked,
+trait-specialized MVMs.
+
+TPU-native rebuild of the reference's Gramian core (src/gramian.jl). The
+reference's hot loop is a threaded+SIMD per-element loop
+(src/gramian.jl:78-99); here the MVM is reorganized *around the MXU*:
+row-blocks of the kernel matrix are produced as `profile(distance-tile)`
+where the distance tile comes from one matmul (||x||^2 + ||y||^2 - 2 X Y^T),
+the scalar profile is fused elementwise by XLA (VPU), and the tile is
+immediately contracted against the vector (MXU again). Memory stays
+O(block * m); `lax.map` over row blocks keeps the compiled graph static.
+
+A Pallas fused kernel (cfjax.ops.pallas_mvm) implements the same tiling
+fully in VMEM for the large-n dense path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import DEFAULT
+from ..kernels.base import InputTrait, Kernel, input_trait
+from .linop import LinearOperator
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_rows(x, block):
+    n = x.shape[0]
+    nb = _cdiv(n, block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(nb, block, x.shape[1])
+
+
+def slf_vector(k):
+    """Extract the linear-functional direction c from an SLF-trait kernel
+    (Cosine possibly wrapped in Constant products/sums/powers)."""
+    from ..kernels.stationary import Constant, Cosine
+    from ..kernels.algebra import Power, Product, Sum
+    from ..kernels.transforms import Chained
+
+    if isinstance(k, Cosine):
+        return jnp.atleast_1d(jnp.asarray(k.c))
+    if isinstance(k, (Sum, Product)):
+        for a in k.args:
+            if not isinstance(a, Constant):
+                return slf_vector(a)
+    if isinstance(k, Power):
+        return slf_vector(k.k)
+    if isinstance(k, Chained):
+        return slf_vector(k.k)
+    raise ValueError(f"cannot extract linear functional from {type(k).__name__}")
+
+
+def kernel_tile(k, xb, y, mode: str, c=None):
+    """Evaluate a (B, m) kernel-matrix tile for row-block xb against all y.
+
+    The trait-specialized modes route all O(B m d) work through a matmul:
+      iso : profile(||x||^2 + ||y||^2 - 2 x.y)
+      dot : profile(x.y)
+      slf : profile(<c, x> - <c, y>)
+    and only GENERIC kernels pay the per-pair vmap fallback (the analogue
+    of the reference's getindex loop, src/gramian.jl:37-52)."""
+    if mode == "iso":
+        S = xb @ y.T
+        D = jnp.sum(xb * xb, axis=1)[:, None] + jnp.sum(y * y, axis=1)[None, :] - 2 * S
+        return k.profile(jnp.maximum(D, 0))
+    if mode == "dot":
+        return k.profile(xb @ y.T)
+    if mode == "slf":
+        t = (xb @ c)[:, None] - (y @ c)[None, :]
+        return k.profile(t)
+    # generic per-pair evaluation
+    return jax.vmap(lambda xi: jax.vmap(lambda yj: k(xi, yj))(y))(xb)
+
+
+@partial(jax.jit, static_argnames=("mode", "block"))
+def gramian_matvec(k, x, y, a, mode: str = "iso", block: int = 512):
+    """b = K a for the lazy Gramian, K_ij = k(x_i, y_j). a: (m,) or (m, r)."""
+    n = x.shape[0]
+    c = slf_vector(k) if mode == "slf" else None
+    xb = _pad_rows(x, block)
+
+    def body(xblk):
+        K = kernel_tile(k, xblk, y, mode, c)
+        return K @ a
+
+    out = lax.map(body, xb)
+    return out.reshape((-1,) + a.shape[1:])[:n]
+
+
+@partial(jax.jit, static_argnames=("mode", "block"))
+def gramian_dense(k, x, y, mode: str = "iso", block: int = 512):
+    """Materialize the full kernel matrix blockwise (reference `Matrix!`,
+    src/gramian.jl:102-114)."""
+    n = x.shape[0]
+    c = slf_vector(k) if mode == "slf" else None
+    xb = _pad_rows(x, block)
+    out = lax.map(lambda xblk: kernel_tile(k, xblk, y, mode, c), xb)
+    return out.reshape(-1, y.shape[0])[:n]
+
+
+def mvm_mode(k) -> str:
+    t = input_trait(k)
+    if t == InputTrait.ISOTROPIC:
+        return "iso"
+    if t == InputTrait.DOT:
+        return "dot"
+    if t == InputTrait.STATIONARY_LINEAR_FUNCTIONAL:
+        try:
+            slf_vector(k)
+            return "slf"
+        except ValueError:
+            return "generic"
+    return "generic"
+
+
+class Gramian(LinearOperator):
+    """Lazy kernel matrix K_ij = k(x_i, y_j) (reference Gramian,
+    src/gramian.jl:10-21). O(n d) storage; matvec/dense are blocked jitted
+    kernels chosen by input trait at construction."""
+
+    def __init__(self, k: Kernel, x, y=None, block: int = None, use_pallas: str = "auto"):
+        from ..utils.grids import as_points
+
+        self.k = k
+        self.x = as_points(x)
+        self.y = self.x if y is None else as_points(y)
+        self._same = y is None or (self.x is self.y)
+        self.shape = (self.x.shape[0], self.y.shape[0])
+        self.dtype = jnp.result_type(self.x.dtype, float)
+        self.mode = mvm_mode(k)
+        if block is None:
+            block = DEFAULT.mvm_block_rows if self.mode != "generic" else 128
+        self.block = min(block, self.shape[0])
+        self.use_pallas = use_pallas
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same and self.k.is_mercer
+
+    def _pallas_ok(self):
+        if self.use_pallas == "never":
+            return False
+        from ..ops.pallas_mvm import pallas_supported
+
+        ok = pallas_supported(self.k, self.mode, self.x, self.y)
+        if self.use_pallas == "always":
+            return ok
+        # auto: worthwhile above ~2k rows
+        return ok and self.shape[0] >= 2048
+
+    def _matvec(self, v):
+        if self._pallas_ok():
+            from ..ops.pallas_mvm import pallas_gramian_matvec
+
+            return pallas_gramian_matvec(self.k, self.x, self.y, v, self.mode)
+        return gramian_matvec(self.k, self.x, self.y, v, self.mode, self.block)
+
+    def _matmat(self, V):
+        return gramian_matvec(self.k, self.x, self.y, V, self.mode, self.block)
+
+    def _rmatvec(self, v):
+        if self._same:
+            return self._matvec(v)
+        return gramian_matvec(self.k, self.y, self.x, v, self.mode, self.block)
+
+    def todense(self):
+        return gramian_dense(self.k, self.x, self.y, self.mode, self.block)
+
+    def diagonal(self):
+        if self.mode == "iso":
+            z = jnp.zeros((min(self.shape),))
+            return self.k.profile(z)
+        n = min(self.shape)
+        return jax.vmap(lambda xi, yi: self.k(xi, yi))(self.x[:n], self.y[:n])

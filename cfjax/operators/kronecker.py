@@ -1,0 +1,145 @@
+"""Lazy Kronecker-product operator.
+
+Rebuild of the reference's KroneckerProducts.jl capability (used by
+separable-product gramians on lazy grids, src/algebra.jl:91-95 and
+src/separable.jl:29-42). The MVM is the vec-trick: reshape to the tensor
+grid and contract each factor along its own axis — a chain of MXU
+matmuls, O(n * sum n_i) instead of O(n^2). Solves factor per-dimension
+(dense Cholesky/eigh of each small factor)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linop import DenseOperator, LinearOperator
+
+
+def _dims(factors):
+    return [f.shape for f in factors]
+
+
+class KroneckerOperator(LinearOperator):
+    """K = F_1 ⊗ F_2 ⊗ ... ⊗ F_d (row-major vec: last factor's axis
+    fastest, matching LazyGrid.points ordering)."""
+
+    def __init__(self, factors):
+        self.factors = tuple(
+            f if isinstance(f, LinearOperator) else DenseOperator(jnp.asarray(f))
+            for f in factors
+        )
+        n = m = 1
+        for f in self.factors:
+            n *= f.shape[0]
+            m *= f.shape[1]
+        self.shape = (n, m)
+        self.dtype = self.factors[0].dtype
+
+    @property
+    def is_symmetric(self):
+        return all(f.is_symmetric for f in self.factors)
+
+    @property
+    def is_psd(self):
+        return all(f.is_psd for f in self.factors)
+
+    def _apply_modes(self, v, op_per_factor, in_dims=None):
+        """vec-trick: contract each factor along its own tensor axis.
+        op_per_factor entries are LinearOperators (kept lazy) or dense
+        matrices."""
+        in_dims = in_dims or [f.shape[1] for f in self.factors]
+        X = v.reshape(in_dims)
+        for i, A in enumerate(op_per_factor):
+            X = jnp.moveaxis(X, i, -1)
+            shp = X.shape
+            X2 = X.reshape(-1, shp[-1])
+            if isinstance(A, LinearOperator):
+                Y2 = A._matmat(X2.T).T
+            else:
+                Y2 = X2 @ A.T
+            X = jnp.moveaxis(Y2.reshape(shp[:-1] + (Y2.shape[-1],)), -1, i)
+        return X.reshape(-1)
+
+    def _matvec(self, v):
+        return self._apply_modes(v, list(self.factors))
+
+    def _matmat(self, V):
+        return jax.vmap(self._matvec, in_axes=1, out_axes=1)(V)
+
+    def todense(self):
+        out = self.factors[0].todense()
+        for f in self.factors[1:]:
+            out = jnp.kron(out, f.todense())
+        return out
+
+    def diagonal(self):
+        out = self.factors[0].diagonal()
+        for f in self.factors[1:]:
+            out = jnp.outer(out, f.diagonal()).reshape(-1)
+        return out
+
+    def cholesky(self):
+        return KroneckerCholesky(self)
+
+    def solve(self, b, **kw):
+        from ..config import DEFAULT
+        from .solvers import cg
+
+        if all(f.shape[0] <= DEFAULT.max_cholesky_size for f in self.factors):
+            return self.cholesky().solve(b)
+        x, _ = cg(self._matvec, b, **kw)
+        return x
+
+    def logdet(self):
+        n_each = [f.shape[0] for f in self.factors]
+        n_total = int(np.prod(n_each))
+        out = 0.0
+        for f, ni in zip(self.factors, n_each):
+            A = f.todense()
+            sign, ld = jnp.linalg.slogdet(A)
+            out = out + (n_total // ni) * ld
+        return out
+
+
+class KroneckerCholesky:
+    """Per-factor Cholesky of a Kronecker operator (reference
+    `cholesky(G::KroneckerProduct)` demo, README.md:194-198): factorizing
+    d small n_i x n_i matrices instead of one prod(n_i)^2 matrix."""
+
+    def __init__(self, K: KroneckerOperator, jitter: float = 1e-10):
+        self.K = K
+        self.Ls = []
+        for f in K.factors:
+            A = f.todense()
+            n = A.shape[0]
+            scale = jnp.mean(jnp.diagonal(A))
+            self.Ls.append(
+                jnp.linalg.cholesky(A + jitter * scale * jnp.eye(n, dtype=A.dtype))
+            )
+        self.shape = K.shape
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+
+        def solve1(v):
+            def inv_factor(L):
+                # A^{-1} = L^{-T} L^{-1}
+                I = jnp.eye(L.shape[0], dtype=L.dtype)
+                Linv = jax.scipy.linalg.solve_triangular(L, I, lower=True)
+                return Linv.T @ Linv
+
+            mats = [inv_factor(L) for L in self.Ls]
+            return self.K._apply_modes(v, mats)
+
+        if b.ndim == 1:
+            return solve1(b)
+        return jax.vmap(solve1, in_axes=1, out_axes=1)(b)
+
+    def logdet(self):
+        n_each = [L.shape[0] for L in self.Ls]
+        n_total = int(np.prod(n_each))
+        out = 0.0
+        for L, ni in zip(self.Ls, n_each):
+            out = out + (n_total // ni) * 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return out

@@ -1,0 +1,345 @@
+"""Operator layer tests: dense-materialization oracles, structure
+detection assertions, and solver round-trips (reference test/gramian.jl,
+test/toeplitz.jl, test/algebra.jl patterns — SURVEY.md §4.2/4.4/4.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfjax.kernels import (
+    EQ,
+    RQ,
+    Cosine,
+    Constant,
+    Delta,
+    Dot,
+    Exp,
+    FiniteBasis,
+    Lengthscale,
+    MaternP,
+    Periodic,
+    SeparableProduct,
+)
+from cfjax.operators import (
+    CirculantOperator,
+    DiagonalOperator,
+    FillOperator,
+    Gramian,
+    KroneckerOperator,
+    LowRankOperator,
+    SumOperator,
+    ToeplitzOperator,
+    WoodburyOperator,
+    cg,
+    durbin,
+    factorize,
+    gramian,
+    levinson,
+    minres,
+    solve,
+    trench,
+)
+from cfjax.utils.grids import LazyGrid, UniformGrid
+from cfjax.utils.testing import pairwise
+
+
+def rand_pts(rng, n, d):
+    return jnp.asarray(rng.standard_normal((n, d)))
+
+
+# -------------------- dense MVM oracle --------------------
+
+
+@pytest.mark.parametrize(
+    "k",
+    [EQ(), RQ(1.3), Exp(), MaternP(2), Dot(), Cosine(jnp.asarray([0.5, 1.0, 0.2]))],
+    ids=lambda k: type(k).__name__,
+)
+def test_gramian_matvec_matches_dense(k, rng):
+    x = rand_pts(rng, 37, 3)
+    y = rand_pts(rng, 29, 3)
+    G = Gramian(k, x, y, block=16)
+    K = np.asarray(pairwise(k, x, y))
+    a = rng.standard_normal(29)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(a)), K @ a, rtol=1e-9, atol=1e-10)
+    # matmat
+    A = rng.standard_normal((29, 4))
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(A)), K @ A, rtol=1e-9, atol=1e-10)
+    # todense
+    np.testing.assert_allclose(np.asarray(G.todense()), K, rtol=1e-9, atol=1e-12)
+
+
+def test_gramian_generic_mode_matches(rng):
+    # trait-erased closure takes the generic path (oracle pattern §4.1)
+    k = EQ()
+    wrapped = lambda x, y: k(x, y)
+    x = rand_pts(rng, 23, 2)
+    G = gramian(wrapped, x)
+    assert G.mode == "generic"
+    K = np.asarray(pairwise(k, x, x))
+    a = rng.standard_normal(23)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(a)), K @ a, rtol=1e-9)
+
+
+# -------------------- structure detection --------------------
+
+
+def test_dispatch_structures(rng):
+    x = rand_pts(rng, 12, 2)
+    assert isinstance(gramian(Constant(2.0), x), FillOperator)
+    basis = (lambda z: jnp.sum(z), lambda z: jnp.sum(z**2))
+    assert isinstance(gramian(FiniteBasis(basis), x), LowRankOperator)
+    # small n <= rank stays dense
+    assert isinstance(gramian(FiniteBasis(basis), x[:2]), Gramian)
+    g = UniformGrid(0.0, 0.1, 32)
+    assert isinstance(gramian(EQ(), g), ToeplitzOperator)
+    # raw uniform array is auto-detected
+    arr = np.linspace(0.0, 3.0, 64)
+    assert isinstance(gramian(EQ(), arr), ToeplitzOperator)
+    # non-uniform falls back
+    assert isinstance(gramian(EQ(), np.cumsum(rng.uniform(0.1, 1, 32))), Gramian)
+    # separable product on grid -> kronecker
+    grid = LazyGrid((np.linspace(0, 1, 4), np.linspace(0, 1, 5)))
+    K = gramian(SeparableProduct((EQ(), EQ())), grid)
+    assert isinstance(K, KroneckerOperator)
+    # periodic on unit-spanning grid -> circulant
+    gp = UniformGrid(0.0, 1 / 16, 16)
+    assert isinstance(gramian(Periodic(EQ()), gp), CirculantOperator)
+    # delta split
+    noisy = EQ() + 0.5 * Delta()
+    op = gramian(noisy, x)
+    assert isinstance(op, SumOperator)
+
+
+def test_fill_and_lowrank_match_dense(rng):
+    x = rand_pts(rng, 10, 2)
+    a = jnp.asarray(rng.standard_normal(10))
+    F = gramian(Constant(1.7), x)
+    np.testing.assert_allclose(np.asarray(F @ a), 1.7 * float(jnp.sum(a)) * np.ones(10), rtol=1e-12)
+    basis = (lambda z: jnp.sum(z), lambda z: jnp.cos(jnp.sum(z)))
+    k = FiniteBasis(basis)
+    G = gramian(k, x)
+    K = np.asarray(pairwise(k, x, x))
+    np.testing.assert_allclose(np.asarray(G @ a), K @ np.asarray(a), rtol=1e-9)
+
+
+def test_delta_split_exact(rng):
+    x = rand_pts(rng, 15, 3)
+    sigma2 = 0.3
+    k = MaternP(1) + sigma2 * Delta()
+    op = gramian(k, x)
+    K = np.asarray(pairwise(MaternP(1), x, x)) + sigma2 * np.eye(15)
+    a = rng.standard_normal(15)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(a)), K @ a, rtol=1e-9)
+
+
+def test_pretransform_paths(rng):
+    from cfjax.kernels import ARD, Energetic, ScaledInputKernel, Warped, VerticalRescaling, normalize
+
+    x = rand_pts(rng, 14, 3)
+    a = jnp.asarray(rng.standard_normal(14))
+    # ARD
+    l = jnp.asarray([0.5, 1.0, 2.0])
+    k = ARD(EQ(), l)
+    np.testing.assert_allclose(
+        np.asarray(gramian(k, x) @ a), np.asarray(pairwise(k, x, x)) @ np.asarray(a), rtol=1e-9
+    )
+    # Energetic
+    M = rng.standard_normal((3, 3))
+    A = jnp.asarray(M @ M.T + 3 * np.eye(3))
+    k = Energetic(EQ(), A)
+    np.testing.assert_allclose(
+        np.asarray(gramian(k, x) @ a), np.asarray(pairwise(k, x, x)) @ np.asarray(a), rtol=1e-9
+    )
+    # ScaledInput
+    U = jnp.asarray(rng.standard_normal((3, 3)))
+    k = ScaledInputKernel(EQ(), U)
+    np.testing.assert_allclose(
+        np.asarray(gramian(k, x) @ a), np.asarray(pairwise(k, x, x)) @ np.asarray(a), rtol=1e-9
+    )
+    # Warped
+    k = Warped(EQ(), lambda z: jnp.tanh(z))
+    np.testing.assert_allclose(
+        np.asarray(gramian(k, x) @ a), np.asarray(pairwise(k, x, x)) @ np.asarray(a), rtol=1e-9
+    )
+    # VerticalRescaling / normalize
+    k = normalize(RQ(1.0) + 0.2)
+    np.testing.assert_allclose(
+        np.asarray(gramian(k, x) @ a), np.asarray(pairwise(k, x, x)) @ np.asarray(a), rtol=1e-9
+    )
+
+
+def test_periodic_embedding_matches(rng):
+    k = Periodic(EQ())
+    x = jnp.asarray(rng.uniform(0, 3, 17))
+    G = gramian(k, x)
+    K = np.asarray(pairwise(k, x[:, None], x[:, None]))
+    a = rng.standard_normal(17)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(a)), K @ a, rtol=1e-9)
+
+
+# -------------------- Toeplitz --------------------
+
+
+def test_toeplitz_mvm_and_dense(rng):
+    k = Exp()
+    g = UniformGrid(0.0, 0.05, 40)
+    T = gramian(k, g)
+    assert isinstance(T, ToeplitzOperator)
+    K = np.asarray(pairwise(k, g.points()[:, None], g.points()[:, None]))
+    np.testing.assert_allclose(np.asarray(T.todense()), K, rtol=1e-9, atol=1e-12)
+    a = rng.standard_normal(40)
+    np.testing.assert_allclose(np.asarray(T @ jnp.asarray(a)), K @ a, rtol=1e-9)
+
+
+def test_nonsymmetric_toeplitz(rng):
+    k = Exp()
+    gx = UniformGrid(0.0, 0.1, 24)
+    gy = UniformGrid(0.5, 0.1, 24)
+    T = gramian(k, gx, gy)
+    assert isinstance(T, ToeplitzOperator)
+    K = np.asarray(pairwise(k, gx.points()[:, None], gy.points()[:, None]))
+    a = rng.standard_normal(24)
+    np.testing.assert_allclose(np.asarray(T @ jnp.asarray(a)), K @ a, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(T.todense()), K, rtol=1e-8)
+
+
+def _dd_toeplitz_col(rng, n):
+    """diagonally dominant SPD toeplitz first column."""
+    col = np.exp(-np.arange(n) * 0.8)
+    return jnp.asarray(col)
+
+
+def test_levinson_durbin_trench(rng):
+    n = 30
+    col = _dd_toeplitz_col(rng, n)
+    i, j = np.arange(n)[:, None], np.arange(n)[None, :]
+    T = np.asarray(col)[np.abs(i - j)]
+    b = rng.standard_normal(n)
+    # levinson vs dense solve (reference test/toeplitz.jl:8-43)
+    x = levinson(col, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(T, b), rtol=1e-7)
+    # durbin: solve T_{n-1} y = -r
+    r = np.asarray(col)[1:] / float(col[0])
+    y = durbin(jnp.asarray(r))
+    Tn = np.asarray(col)[np.abs(i - j)][: n - 1, : n - 1] / float(col[0])
+    np.testing.assert_allclose(np.asarray(y), np.linalg.solve(Tn, -r), rtol=1e-7, atol=1e-12)
+    # trench inverse
+    B = trench(col)
+    np.testing.assert_allclose(np.asarray(B), np.linalg.inv(T), rtol=1e-6, atol=1e-9)
+
+
+def test_toeplitz_cg_solve(rng):
+    n = 64
+    col = _dd_toeplitz_col(rng, n)
+    T = ToeplitzOperator(col)
+    b = jnp.asarray(rng.standard_normal(n))
+    x = T.solve(b, method="cg", tol=1e-12)
+    xd = np.linalg.solve(np.asarray(T.todense()), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-6)
+
+
+def test_circulant(rng):
+    c = jnp.asarray(np.r_[2.0, 0.5, 0.1, 0.05, 0.1, 0.5])
+    C = CirculantOperator(c)
+    K = np.asarray(C.todense())
+    a = rng.standard_normal(6)
+    np.testing.assert_allclose(np.asarray(C @ jnp.asarray(a)), K @ a, rtol=1e-10)
+    x = C.solve(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(K, a), rtol=1e-10)
+    ld = float(C.logdet())
+    np.testing.assert_allclose(ld, np.linalg.slogdet(K)[1], rtol=1e-10)
+
+
+# -------------------- Kronecker --------------------
+
+
+def test_kronecker_mvm_solve(rng):
+    grid = LazyGrid(
+        (np.linspace(0, 3, 5), np.linspace(0, 3, 4), np.linspace(0, 3, 3))
+    )
+    k = SeparableProduct((EQ(), EQ(), EQ()))
+    K = gramian(k, grid)
+    assert isinstance(K, KroneckerOperator)
+    n = len(grid)
+    assert K.shape == (n, n)
+    Kd = np.asarray(K.todense())
+    # oracle: direct pairwise eval on materialized grid points
+    P = grid.points()
+    Ko = np.asarray(pairwise(k, P, P))
+    np.testing.assert_allclose(Kd, Ko, rtol=1e-9, atol=1e-12)
+    a = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(K @ jnp.asarray(a)), Kd @ a, rtol=1e-9)
+    # per-factor cholesky solve
+    x = K.solve(jnp.asarray(a))
+    # residual-based check (K is moderately ill-conditioned)
+    np.testing.assert_allclose(Kd @ np.asarray(x), a, rtol=1e-6, atol=1e-8)
+    # logdet
+    F = K.cholesky()
+    np.testing.assert_allclose(float(F.logdet()), np.linalg.slogdet(Kd)[1], rtol=1e-6)
+
+
+# -------------------- solvers --------------------
+
+
+def test_cg_solves_spd(rng):
+    n = 40
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray(M @ M.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, (iters, res) = cg(lambda v: A @ v, b, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), rtol=1e-8)
+
+
+def test_minres_indefinite(rng):
+    n = 30
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray((M + M.T) / 2 + np.diag(np.linspace(-2, 5, n)))
+    b = jnp.asarray(rng.standard_normal(n))
+    x, (iters, res) = minres(lambda v: A @ v, b, tol=1e-12, maxiter=400)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), rtol=1e-5, atol=1e-7)
+
+
+def test_gramian_solve_roundtrip(rng):
+    """K \\ (K a) == a (reference test/gradient.jl:55-63 pattern)."""
+    x = rand_pts(rng, 50, 2)
+    k = MaternP(2) + 0.1 * Delta()
+    K = gramian(k, x)
+    a = jnp.asarray(rng.standard_normal(50))
+    b = K @ a
+    a_rec = solve(K, b, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(a_rec), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+def test_factorize_policy(rng):
+    from cfjax.operators.solvers import CholeskyFactorization
+
+    x = rand_pts(rng, 20, 2)
+    K = gramian(EQ(), x)
+    F = factorize(K)
+    assert isinstance(F, CholeskyFactorization)
+    F2 = factorize(K, max_cholesky_size=8)
+    assert F2 is K
+
+
+def test_woodbury(rng):
+    n, r = 20, 3
+    d = jnp.asarray(rng.uniform(1, 2, n))
+    U = jnp.asarray(rng.standard_normal((n, r)))
+    C = jnp.asarray(np.eye(r))
+    W = WoodburyOperator(DiagonalOperator(d), U, C)
+    A = np.diag(np.asarray(d)) + np.asarray(U) @ np.asarray(U).T
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(W @ jnp.asarray(v)), A @ v, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(W.solve(jnp.asarray(v))), np.linalg.solve(A, v), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(W.diagonal()), np.diagonal(A), rtol=1e-10)
+
+
+def test_lazy_diagonal_add(rng):
+    x = rand_pts(rng, 16, 2)
+    K = gramian(EQ(), x)
+    op = K.add_diagonal(0.5)
+    Kd = np.asarray(K.todense()) + 0.5 * np.eye(16)
+    a = rng.standard_normal(16)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(a)), Kd @ a, rtol=1e-9)
