@@ -1,0 +1,92 @@
+"""Barnes-Hut + sparsification tests.
+
+Reference patterns: theta-sweep accuracy curves with 4 weight-vector
+classes and exactness at theta=0 (test/barneshut.jl:10-47, 75-135);
+sparsification nnz/accuracy checks (README.md:374-396)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfjax.barneshut import BarnesHutFactorization, build_tree
+from cfjax.kernels import EQ, Cauchy, Exp, Lengthscale, MaternP
+from cfjax.operators.sparse_op import decay_radius, sparse_gramian
+from cfjax.utils.testing import pairwise
+
+
+def test_tree_build(rng):
+    y = rng.standard_normal((100, 2))
+    t = build_tree(y, leafsize=8)
+    assert t.points.shape[0] == t.n_leaves * t.leafsize
+    # every original point appears exactly once among the first-m inverse perm
+    assert len(np.unique(t.perm)) == t.points.shape[0]
+    # radii cover their slices
+    P = t.points.shape[0]
+    for l in [0, t.levels]:
+        nl = 2**l
+        pts = np.asarray(t.points).reshape(nl, P // nl, -1)
+        c = np.asarray(t.centers[l])
+        r = np.asarray(t.radii[l])
+        dist = np.sqrt(((pts - c[:, None, :]) ** 2).sum(-1)).max(1)
+        assert np.all(dist <= r + 1e-12)
+
+
+@pytest.mark.parametrize("wclass", ["ones", "rand", "signed", "randn"])
+def test_bh_theta_sweep(rng, wclass):
+    n, d = 400, 2
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    k = EQ()
+    K = np.asarray(pairwise(k, x, x))
+    w = {
+        "ones": np.ones(n),
+        "rand": rng.uniform(0, 1, n),
+        "signed": np.sign(rng.standard_normal(n)),
+        "randn": rng.standard_normal(n),
+    }[wclass]
+    exact = K @ w
+    errs = []
+    for theta in [0.0, 0.25, 0.5, 1.0]:
+        F = BarnesHutFactorization(k, x, theta=theta, leafsize=16)
+        b = np.asarray(F @ jnp.asarray(w))
+        err = np.linalg.norm(b - exact) / np.linalg.norm(exact)
+        errs.append(err)
+    # exact at theta = 0 (never accept -> all dense leaves)
+    assert errs[0] < 1e-10, errs
+    # error grows (weakly) with theta and stays small at theta=1/4
+    assert errs[1] < 2e-2, errs
+    assert errs[1] <= errs[3] + 1e-12 or errs[3] < 1e-10, errs
+
+
+def test_bh_solve(rng):
+    n, d = 300, 2
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    k = Lengthscale(EQ(), 0.5)
+    F = BarnesHutFactorization(k, x, theta=0.0)  # exact MVM
+    K = np.asarray(pairwise(k, x, x)) + 0.1 * np.eye(n)
+    b = rng.standard_normal(n)
+    Fd = F.add_diagonal(0.1)
+    xs = Fd.solve(jnp.asarray(b), tol=1e-12, maxiter=1000)
+    np.testing.assert_allclose(np.asarray(xs), np.linalg.solve(K, b), rtol=1e-6, atol=1e-8)
+
+
+def test_decay_radius():
+    for k in [EQ(), Exp(), Cauchy(), MaternP(2), Lengthscale(EQ(), 2.0)]:
+        r = decay_radius(k, 1e-6)
+        assert r is not None
+        val = float(k.profile(jnp.asarray(r * r)))
+        assert val <= 1.2e-6, (type(k).__name__, val)
+        # radius is tight-ish: value at 0.8 r above tol
+        assert float(k.profile(jnp.asarray((0.8 * r) ** 2))) > 1e-6
+
+
+def test_sparse_gramian(rng):
+    n, d = 500, 3
+    x = jnp.asarray(rng.standard_normal((n, d)) * 3)
+    k = Lengthscale(EQ(), 0.3)
+    S, ratio = sparse_gramian(k, x, tol=1e-8, block=128)
+    assert ratio < 0.2
+    K = np.asarray(pairwise(k, x, x))
+    a = rng.standard_normal(n)
+    approx = np.asarray(S @ jnp.asarray(a))
+    err = np.linalg.norm(approx - K @ a) / np.linalg.norm(K @ a)
+    assert err < 1e-6, err
