@@ -251,6 +251,10 @@ class GradientGramian(LinearOperator):
             return grad_matvec_dot(self.k, self.x, self.y, A, **kws)
         if self.mode == "slf":
             return grad_matvec_slf(self.k, self.x, self.y, A, **kws)
+        if self.mode == "pair":
+            from .pair import grad_matvec_pair
+
+            return grad_matvec_pair(self.k, self.x, self.y, A, **kws)
         return grad_matvec_generic(self.k, self.x, self.y, A, **kws)
 
     def _matvec(self, v):
@@ -259,6 +263,8 @@ class GradientGramian(LinearOperator):
 
 
 def _grad_mode(k) -> str:
+    from .pair import pair_family_available
+
     t = input_trait(k)
     if t == InputTrait.ISOTROPIC:
         return "iso"
@@ -270,6 +276,8 @@ def _grad_mode(k) -> str:
             return "slf"
         except ValueError:
             return "generic"
+    if pair_family_available(k):
+        return "pair"  # NN kernel + heterogeneous iso/dot/NN composites
     return "generic"
 
 
@@ -291,8 +299,18 @@ class GradientKernel(MultiKernel):
     def gramian(self, x, y=None, **opts):
         from ..kernels.algebra import Sum
         from ..kernels.stationary import Constant
+        from ..kernels.transforms import ScaledInputKernel, Warped
 
         k = self.k
+        # input-transform chain rule: J^T Block J conjugation
+        # (src/gradient_algebra.jl:149-163)
+        if isinstance(k, Warped):
+            return JacobianConjugatedGradientGramian(k.k, k.u, x, y, **opts)
+        if isinstance(k, ScaledInputKernel):
+            U = jnp.asarray(k.U)
+            return JacobianConjugatedGradientGramian(
+                k.k, lambda z: U @ z, x, y, **opts
+            )
         if isinstance(k, Constant):
             from ..utils.grids import as_points
 
@@ -377,6 +395,89 @@ class ValueGradientGramian(LinearOperator):
             out = valgrad_matvec_iso(self.k, self.x, self.y, a0, A, **kws)
         elif self.mode == "dot":
             out = valgrad_matvec_dot(self.k, self.x, self.y, a0, A, **kws)
+        elif self.mode == "pair":
+            from .pair import valgrad_matvec_pair
+
+            out = valgrad_matvec_pair(self.k, self.x, self.y, a0, A, **kws)
         else:
             out = valgrad_matvec_generic(self.k, self.x, self.y, a0, A, **kws)
         return out.reshape(-1)
+
+
+# --------------------------------------------------------------------------
+# input-transform chain rule: U^T Block U conjugation
+# --------------------------------------------------------------------------
+
+
+class JacobianConjugatedGradientGramian(LinearOperator):
+    """Gradient gramian of k(u(x), u(y)): per-pair block J_u(x)^T B J_u(y)
+    (reference src/gradient_algebra.jl:149-163: Warped/ScaledInput gramians
+    factored as U^T G U with block-diagonal Jacobians). Realized as
+    per-point Jacobian contraction around the inner fast-path MVM."""
+
+    def __init__(self, inner_kernel, u, x, y=None, block=None):
+        from ..utils.grids import as_points
+
+        self.u = u
+        xp = as_points(x)
+        yp = xp if y is None else as_points(y)
+        self._same = y is None
+        ux = jax.vmap(u)(xp)
+        ux = ux[:, None] if ux.ndim == 1 else ux
+        uy = ux if y is None else jax.vmap(u)(yp)
+        uy = uy[:, None] if uy.ndim == 1 else uy
+        self.Jx = jax.vmap(jax.jacfwd(u))(xp)  # (n, d_out, d_in)
+        if self.Jx.ndim == 2:
+            self.Jx = self.Jx[:, None, :]
+        self.Jy = self.Jx if y is None else jax.vmap(jax.jacfwd(u))(yp)
+        if self.Jy.ndim == 2:
+            self.Jy = self.Jy[:, None, :]
+        self.inner = GradientGramian(inner_kernel, ux, uy, block=block)
+        d_in = xp.shape[1]
+        self.d = d_in
+        self.shape = (xp.shape[0] * d_in, yp.shape[0] * d_in)
+        self.dtype = self.inner.dtype
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same
+
+    def _matvec(self, v):
+        m = self.shape[1] // self.d
+        A = v.reshape(m, self.d)
+        A_up = jnp.einsum("moi,mi->mo", self.Jy, A)  # J_y a_j
+        B_up = self.inner._apply(A_up)
+        B = jnp.einsum("noi,no->ni", self.Jx, B_up)  # J_x^T b_i
+        return B.reshape(-1)
+
+
+class DerivativeKernel:
+    """1-D derivative kernel cov(f'(x), f'(y)) (reference src/gradient.jl:549-560):
+    the d=1 GradientKernel on scalar inputs."""
+
+    def __init__(self, k):
+        self.k = GradientKernel(k)
+
+    def __call__(self, x, y):
+        return self.k(jnp.atleast_1d(x), jnp.atleast_1d(y))[0, 0]
+
+    def gramian(self, x, y=None, **opts):
+        return self.k.gramian(x, y, **opts)
+
+
+class ValueDerivativeKernel:
+    """1-D value+derivative kernel (reference src/gradient.jl:561-579):
+    the d=1 ValueGradientKernel on scalar inputs."""
+
+    def __init__(self, k):
+        self.k = ValueGradientKernel(k)
+
+    def __call__(self, x, y):
+        return self.k(jnp.atleast_1d(x), jnp.atleast_1d(y))
+
+    def gramian(self, x, y=None, **opts):
+        return self.k.gramian(x, y, **opts)

@@ -91,7 +91,13 @@ class ShardedGramian(LinearOperator):
         xp = as_points(x)
         yp = xp if y is None else as_points(y)
         self._same = y is None
-        self.x = shard_rows(xp, self.mesh, axis)
+        # pad rows to a device-count multiple so the shard is legal;
+        # padded garbage rows are sliced off after each matvec
+        nd = self.mesh.shape[axis]
+        self._n = xp.shape[0]
+        pad = (-self._n) % nd
+        xp_pad = jnp.pad(xp, ((0, pad), (0, 0))) if pad else xp
+        self.x = shard_rows(xp_pad, self.mesh, axis)
         self.y = replicate(yp, self.mesh)
         self.shape = (xp.shape[0], yp.shape[0])
         self.dtype = jnp.result_type(xp.dtype, float)
@@ -107,9 +113,10 @@ class ShardedGramian(LinearOperator):
         return self._same and self.k.is_mercer
 
     def _matvec(self, v):
-        return sharded_gramian_matvec(
+        out = sharded_gramian_matvec(
             self.k, self.x, self.y, v, self.mode, self.mesh, self.axis, self.block
         )
+        return out[: self._n]
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 1000, **kw):
         x, _ = sharded_cg(self._matvec, b, tol=tol, maxiter=maxiter)

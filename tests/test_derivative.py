@@ -83,7 +83,11 @@ def test_gradient_heterogeneous_sum(rng):
     n, d = 8, 3
     x = rand_pts(rng, n, d)
     G = GradientKernel(k).gramian(x)
-    assert isinstance(G, SumOperator)
+    # the pair family now covers iso+dot sums in one pass; SLF-containing
+    # sums still split into an operator sum
+    from cfjax.kernels import Cosine
+    G2 = GradientKernel(MaternP(2) + Cosine(jnp.ones(d))).gramian(x)
+    assert isinstance(G2, SumOperator)
     Kd = dense_gradient_oracle(k, x, x)
     v = rng.standard_normal(n * d)
     np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
@@ -228,3 +232,54 @@ def test_separable_kernel(rng):
     K = np.kron(np.asarray(pairwise(EQ(), x, x)), B)
     v = rng.standard_normal(n * 2)
     np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), K @ v, rtol=1e-9)
+
+
+def test_gradient_pair_family_nn(rng):
+    """NN-kernel gradient fast path (reference hand-derives a Woodbury
+    block, src/gradient.jl:173-211; here the universal pair form covers it)."""
+    k = NN(0.3)
+    n, d = 8, 3
+    x = rand_pts(rng, n, d)
+    G = GradientKernel(k).gramian(x)
+    assert G.mode == "pair"
+    Kd = dense_gradient_oracle(k, x, x)
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_gradient_heterogeneous_product(rng):
+    """Mixed iso*dot product — reference needs Woodbury product rules
+    (src/gradient_algebra.jl:47-89); the pair path handles it in one pass."""
+    k = MaternP(2) * (Dot() ** 2 + 0.5)
+    n, d = 8, 3
+    x = rand_pts(rng, n, d)
+    G = GradientKernel(k).gramian(x)
+    assert G.mode == "pair"
+    Kd = dense_gradient_oracle(k, x, x)
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_gradient_readme_composite(rng):
+    """The reference README composite demo kernel: Matern + quadratic + NN
+    (README.md:298-303)."""
+    from cfjax.kernels import Line
+
+    k = MaternP(2) + Line(1.0) ** 2 + NN(0.1)
+    n, d = 7, 4
+    x = rand_pts(rng, n, d)
+    G = GradientKernel(k).gramian(x)
+    Kd = dense_gradient_oracle(k, x, x)
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_valuegradient_pair(rng):
+    k = NN(0.2) + MaternP(2)
+    n, d = 6, 3
+    x = rand_pts(rng, n, d)
+    G = ValueGradientKernel(k).gramian(x)
+    assert G.mode == "pair"
+    Kd = dense_valgrad_oracle(k, x, x)
+    v = rng.standard_normal(n * (d + 1))
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)

@@ -1,0 +1,168 @@
+"""Sharding + GP layer tests.
+
+Beyond the reference's coverage (it has no distributed tests — nothing
+distributed exists there, SURVEY.md §4): tolerance comparison of sharded
+vs single-device MVM on the fake 8-device mesh, sharded CG solves, GP
+conditioning round-trips, hyperparameter optimization through logML
+(reference test/optimization.jl analogue), and HMC smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfjax.gp import gp_condition, hmc_sample, log_marginal_likelihood
+from cfjax.kernels import EQ, Lengthscale, MaternP, parameters, similar
+from cfjax.operators import Gramian, gramian
+from cfjax.parallel import ShardedGramian, default_mesh, sharded_gramian_matvec
+from cfjax.utils.testing import pairwise
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_mvm_matches_single(rng):
+    x = jnp.asarray(rng.standard_normal((100, 3)))
+    a = jnp.asarray(rng.standard_normal(100))
+    k = MaternP(2)
+    mesh = default_mesh()
+    G = ShardedGramian(k, x, mesh=mesh, block=16)
+    b_sharded = np.asarray(G @ a)
+    b_single = np.asarray(Gramian(k, x, block=16) @ a)
+    np.testing.assert_allclose(b_sharded, b_single, rtol=1e-12)
+
+
+def test_sharded_solve(rng):
+    x = jnp.asarray(rng.standard_normal((96, 2)))
+    k = EQ()
+    mesh = default_mesh()
+    G = ShardedGramian(k, x, mesh=mesh, block=16)
+    a = jnp.asarray(rng.standard_normal(96))
+    K = np.asarray(pairwise(k, x, x)) + 1e-4 * np.eye(96)
+    op = G.add_diagonal(1e-4)
+    from cfjax.parallel import sharded_cg
+
+    xs, _ = sharded_cg(op._matvec, a, tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xs), np.linalg.solve(K, np.asarray(a)), rtol=1e-6)
+
+
+def test_sharded_matvec_uneven_rows(rng):
+    # n not divisible by device count
+    x = jnp.asarray(rng.standard_normal((101, 3)))
+    a = jnp.asarray(rng.standard_normal(101))
+    k = EQ()
+    mesh = default_mesh()
+    b = sharded_gramian_matvec(k, x, x, a, "iso", mesh, block=16)
+    b_ref = np.asarray(pairwise(k, x, x)) @ np.asarray(a)
+    np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-10)
+
+
+def test_gp_condition_roundtrip(rng):
+    x = jnp.asarray(rng.uniform(-2, 2, (80, 1)))
+    y = jnp.sin(2 * x[:, 0])
+    post = gp_condition(MaternP(2), x, y, noise=1e-8)
+    mean_at_train = post.mean(x)
+    np.testing.assert_allclose(np.asarray(mean_at_train), np.asarray(y), atol=1e-3)
+    # variance at training points ~ 0
+    var = post.variance(x[:5], tol=1e-10, maxiter=500)
+    assert np.all(np.asarray(var) < 1e-4)
+
+
+def test_hyperparameter_optimization(rng):
+    """Gradient ascent on logML recovers a reasonable lengthscale
+    (reference test/optimization.jl:12-18 uses Flux on the same objective)."""
+    true_l = 0.5
+    noise = 1e-2
+    x = jnp.asarray(rng.uniform(-2, 2, (60, 1)))
+    K = np.asarray(pairwise(Lengthscale(EQ(), true_l), x, x)) + noise * np.eye(60)
+    L = np.linalg.cholesky(K)
+    y = jnp.asarray(L @ rng.standard_normal(60))
+
+    def loss(log_l):
+        k = Lengthscale(EQ(), jnp.exp(log_l))
+        return -log_marginal_likelihood(k, x, y, noise=noise)
+
+    g = jax.grad(loss)
+    log_l = jnp.log(2.0)  # start far away
+    for _ in range(80):
+        gv = g(log_l)
+        log_l = log_l - 0.05 * gv / (jnp.abs(gv) + 1.0)  # normalized step
+    assert abs(float(jnp.exp(log_l)) - true_l) < 0.25, float(jnp.exp(log_l))
+
+
+def test_parameters_similar_roundtrip_optimization():
+    k = Lengthscale(EQ(), 0.7) + 0.3
+    theta = parameters(k)
+    k2 = similar(k, theta)
+    assert np.allclose(np.asarray(parameters(k2)), np.asarray(theta))
+
+
+def test_hmc_smoke(rng):
+    """HMC on a 2-D Gaussian target: means/variances roughly correct."""
+    cov = jnp.asarray([[1.0, 0.5], [0.5, 2.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(th):
+        return -0.5 * th @ (prec @ th)
+
+    samples, acc = hmc_sample(
+        logp,
+        jnp.zeros(2),
+        jax.random.PRNGKey(0),
+        num_samples=3000,
+        num_warmup=500,
+        num_leapfrog=16,
+    )
+    assert float(acc) > 0.5
+    emp = np.cov(np.asarray(samples).T)
+    assert np.all(np.abs(np.asarray(samples).mean(0)) < 0.3)
+    np.testing.assert_allclose(np.diag(emp), np.diag(np.asarray(cov)), rtol=0.4)
+
+
+def test_derivative_1d_kernels(rng):
+    from cfjax.derivative import DerivativeKernel, ValueDerivativeKernel
+
+    k = DerivativeKernel(EQ())
+    x = jnp.asarray(rng.standard_normal((10, 1)))
+    G = k.gramian(x)
+    assert G.shape == (10, 10)
+    # oracle: d2/dx dy exp(-(x-y)^2/2)
+    def blk(xi, yj):
+        return jax.jacfwd(lambda y_: jax.grad(lambda x_: EQ()(x_, y_))(xi))(yj)[0, 0]
+
+    Kd = np.asarray(jax.vmap(lambda xi: jax.vmap(lambda yj: blk(xi, yj))(x))(x))
+    v = rng.standard_normal(10)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-8)
+    vk = ValueDerivativeKernel(EQ())
+    assert vk.gramian(x).shape == (20, 20)
+
+
+def test_warped_gradient_conjugation(rng):
+    """GradientKernel of Warped/ScaledInput: J^T B J chain rule."""
+    from cfjax.derivative import GradientKernel
+    from cfjax.kernels import ScaledInputKernel, Warped
+
+    n, d = 7, 3
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    U = jnp.asarray(rng.standard_normal((d, d)))
+    k = ScaledInputKernel(EQ(), U)
+    G = GradientKernel(k).gramian(x)
+
+    def blk(xi, yj):
+        return jax.jacfwd(lambda y_: jax.grad(lambda x_: k(x_, y_))(xi))(yj)
+
+    B = jax.vmap(lambda xi: jax.vmap(lambda yj: blk(xi, yj))(x))(x)
+    Kd = np.asarray(jnp.transpose(B, (0, 2, 1, 3)).reshape(n * d, n * d))
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+    # nonlinear warp
+    kw = Warped(EQ(), lambda z: jnp.tanh(z))
+    Gw = GradientKernel(kw).gramian(x)
+    Bw = jax.vmap(
+        lambda xi: jax.vmap(
+            lambda yj: jax.jacfwd(lambda y_: jax.grad(lambda x_: kw(x_, y_))(xi))(yj)
+        )(x)
+    )(x)
+    Kw = np.asarray(jnp.transpose(Bw, (0, 2, 1, 3)).reshape(n * d, n * d))
+    np.testing.assert_allclose(np.asarray(Gw @ jnp.asarray(v)), Kw @ v, rtol=1e-7)
