@@ -98,17 +98,17 @@ def bh_matvec(
         B = xb.shape[0]
         acc = jnp.zeros((B,), dtype=xb.dtype)
         opened = jnp.ones((B, 1), dtype=bool)
+        vg = jax.vmap(jax.vmap(jax.value_and_grad(lambda s: k.profile(s))))
         for l in range(levels + 1):
             C, R, S, com, mu = centers[l], radii[l], S_l[l], com_l[l], mu_l[l]
-            # acceptance on the static geometric sphere (conservative);
-            # evaluation/expansion at the |w|-center of mass
-            D2c = _sqd(xb, C)
-            far = theta2 * D2c > (R * R)[None, :]
-            accepted = far & opened
+            # one distance per level: acceptance AND evaluation at the
+            # |w|-center of mass (exactly the reference's criterion,
+            # src/barneshut.jl:135 / taylor.jl:44, with the hypersphere
+            # radius); value+derivative fused in one pass
             D2 = _sqd(xb, com)
-            f0 = profile_d2(D2)
-            # f' via one forward derivative, elementwise on the tile
-            f1 = jax.vmap(jax.vmap(jax.grad(lambda s: k.profile(s))))(D2)
+            far = theta2 * D2 > (R * R)[None, :]
+            accepted = far & opened
+            f0, f1 = vg(D2)
             rdotmu = xb @ mu.T - jnp.sum(com * mu, axis=1)[None, :]
             contrib = f0 * S[None, :] - 2.0 * f1 * rdotmu
             acc = acc + jnp.sum(jnp.where(accepted, contrib, 0.0), axis=1)
@@ -117,22 +117,22 @@ def bh_matvec(
             else:
                 opened = ~far & opened  # leaves needing dense evaluation
 
-        # dense leaf evaluation through fixed-size gather
+        # dense leaf evaluation through a fixed-size gather; open-leaf
+        # indices come from ONE fused top_k over the whole block (a
+        # vmapped per-row nonzero lowers to serialized per-row sorts on
+        # TPU and dominated the MVM)
         counts = jnp.sum(opened, axis=1)
         overflow = jnp.max(counts) - max_open
+        vals_k, idx_k = jax.lax.top_k(opened.astype(jnp.int32), max_open)
+        valid = vals_k > 0  # (B, max_open)
 
-        def leaf_eval(xi, open_row):
-            cnt = jnp.sum(open_row)
-            (idx,) = jnp.nonzero(open_row, size=max_open, fill_value=0)
-            # mask by position (fill slots alias leaf 0 — must not be counted)
-            valid = jnp.arange(max_open) < cnt
-            pts = leaf_pts[idx]          # (max_open, ls, d)
-            wts = leaf_w[idx]            # (max_open, ls)
-            D2 = jnp.sum((pts - xi[None, None, :]) ** 2, axis=-1)
-            kv = profile_d2(D2)
-            return jnp.sum(jnp.where(valid[:, None], kv * wts, 0.0))
-
-        acc = acc + jax.vmap(leaf_eval)(xb, opened)
+        pts = leaf_pts[idx_k]            # (B, max_open, ls, d)
+        wts = leaf_w[idx_k]              # (B, max_open, ls)
+        D2l = jnp.sum((pts - xb[:, None, None, :]) ** 2, axis=-1)
+        kvl = profile_d2(D2l)
+        acc = acc + jnp.sum(
+            jnp.where(valid[:, :, None], kvl * wts, 0.0), axis=(1, 2)
+        )
         return acc, overflow
 
     nb = -(-n // block)
@@ -140,6 +140,28 @@ def bh_matvec(
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     outs, overflows = jax.lax.map(body, xp.reshape(nb, block, d))
     return outs.reshape(-1)[:n], jnp.max(overflows)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def _count_open_leaves(xb, centers, radii, theta, levels):
+    """Max open-leaf count for a target block (module-level so the compile
+    is cached across BarnesHutFactorization instances).
+
+    The sweep's acceptance uses distances to |w|-centers of mass, which
+    move within the node sphere; probing with the geometric centers and
+    radius inflated to R(1+theta) yields a superset of the possible open
+    sets (dist_com >= dist_geo - R), so max_open never under-counts."""
+    theta2 = theta * theta
+    opened = jnp.ones((xb.shape[0], 1), dtype=bool)
+    for l in range(levels + 1):
+        D2 = _sqd(xb, centers[l])
+        r_infl = radii[l] * (1.0 + theta)
+        far = theta2 * D2 > (r_infl * r_infl)[None, :]
+        if l < levels:
+            opened = jnp.repeat(~far & opened, 2, axis=1)
+        else:
+            opened = ~far & opened
+    return jnp.max(jnp.sum(opened, axis=1))
 
 
 class BarnesHutFactorization(LinearOperator):
@@ -156,7 +178,7 @@ class BarnesHutFactorization(LinearOperator):
         theta: float = None,
         leafsize: int = None,
         max_open: int = None,
-        block: int = 128,
+        block: int = None,
     ):
         from ..utils.grids import as_points
 
@@ -172,6 +194,10 @@ class BarnesHutFactorization(LinearOperator):
         self.m = yp.shape[0]
         self.shape = (self.x.shape[0], self.m)
         self.dtype = jnp.result_type(self.x.dtype, float)
+        if block is None:
+            # keep the per-block (block x n_leaves) mask around ~8M entries:
+            # large blocks amortize dispatch latency, small ones bound memory
+            block = int(np.clip(8_000_000 // max(self.tree.n_leaves, 1), 128, 4096))
         self.block = block
         if max_open is None:
             max_open = self._estimate_max_open()
@@ -180,24 +206,21 @@ class BarnesHutFactorization(LinearOperator):
     def _estimate_max_open(self, probe_block: int = 4096):
         """Probe the acceptance masks once (blocked) to size the leaf gather."""
         t = self.tree
-        theta2 = self.theta**2
-
-        @jax.jit
-        def count_block(xb):
-            opened = jnp.ones((xb.shape[0], 1), dtype=bool)
-            for l in range(t.levels + 1):
-                D2 = _sqd(xb, t.centers[l])
-                far = theta2 * D2 > (t.radii[l] ** 2)[None, :]
-                if l < t.levels:
-                    opened = jnp.repeat(~far & opened, 2, axis=1)
-                else:
-                    opened = ~far & opened
-            return jnp.max(jnp.sum(opened, axis=1))
-
         mo = 0
         n = self.x.shape[0]
         for i0 in range(0, n, probe_block):
-            mo = max(mo, int(count_block(self.x[i0 : i0 + probe_block])))
+            mo = max(
+                mo,
+                int(
+                    _count_open_leaves(
+                        self.x[i0 : i0 + probe_block],
+                        tuple(t.centers),
+                        tuple(t.radii),
+                        self.theta,
+                        t.levels,
+                    )
+                ),
+            )
         return max(8, int(np.ceil(mo / 8)) * 8)
 
     @property
@@ -228,7 +251,11 @@ class BarnesHutFactorization(LinearOperator):
         return out
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 500, **kw):
-        from ..operators.solvers import minres
+        from ..operators.solvers import cached_jit, minres
 
-        x, _ = minres(self._matvec, jnp.asarray(b), tol=tol, maxiter=maxiter)
-        return x
+        f = cached_jit(
+            self,
+            ("minres", tol, maxiter),
+            lambda: (lambda bb: minres(self._matvec, bb, tol=tol, maxiter=maxiter)[0]),
+        )
+        return f(jnp.asarray(b))

@@ -51,16 +51,19 @@ def build_tree(y, leafsize: int = 16) -> BalancedTree:
     yp = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)], axis=0) if pad else y
 
     perm = np.arange(P)
-    # iterative median splits: at step l, split each contiguous segment in half
+    # iterative median splits, fully vectorized: at level l all 2^l
+    # segments are sorted at once along their own widest dimension (one
+    # batched argsort per level instead of 2^l separate sorts)
     for l in range(L):
-        seg = P >> l
-        half = seg >> 1
-        for s in range(0, P, seg):
-            idx = perm[s : s + seg]
-            pts = yp[idx]
-            dim = int(np.argmax(pts.max(0) - pts.min(0)))
-            order = np.argsort(pts[:, dim], kind="stable")
-            perm[s : s + seg] = idx[order]
+        nl = 1 << l
+        seg = P // nl
+        pts = yp[perm].reshape(nl, seg, d)
+        dims = np.argmax(pts.max(axis=1) - pts.min(axis=1), axis=1)  # (nl,)
+        coords = np.take_along_axis(
+            pts, dims[:, None, None], axis=2
+        )[:, :, 0]  # (nl, seg)
+        order = np.argsort(coords, axis=1, kind="stable")
+        perm = np.take_along_axis(perm.reshape(nl, seg), order, axis=1).reshape(P)
     points = yp[perm]
 
     centers, radii = [], []

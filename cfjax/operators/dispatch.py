@@ -112,6 +112,19 @@ def gramian(k, x, y=None, **opts):
         xp, yp = as_points(x), as_points(x) if same else as_points(y)
         return FillOperator(jnp.asarray(k.c), (xp.shape[0], yp.shape[0]))
 
+    # 2b. discrete-input matrix kernel: K = A[ix][:, iy]
+    from ..kernels.mercer import MatrixKernel
+
+    if isinstance(k, MatrixKernel):
+        import numpy as _np
+
+        ix = jnp.asarray(_np.asarray(x).reshape(-1), dtype=jnp.int32)
+        iy = ix if same else jnp.asarray(_np.asarray(y).reshape(-1), dtype=jnp.int32)
+        A = jnp.asarray(k.A)
+        from .linop import DenseOperator
+
+        return DenseOperator(A[ix][:, iy], symmetric=same)
+
     # 3. finite basis -> low-rank (src/mercer.jl:61-70)
     if isinstance(k, FiniteBasis):
         xp = as_points(x)
@@ -275,3 +288,26 @@ def _uniform_grid_of(x):
 
 def _kernel_col(k, x0, pts):
     return jax.vmap(lambda xj: k(x0, xj))(pts)
+
+
+def explain(k, x, y=None, **opts) -> str:
+    """Describe the structure the dispatcher detected (the reference
+    communicates this only through Julia return types; SURVEY.md §5 asks
+    for explicit dispatch logging)."""
+    op = gramian(k, x, y, **opts)
+    parts = [f"{type(op).__name__}{op.shape}"]
+    if isinstance(op, Gramian):
+        parts.append(f"mvm mode = {op.mode}, block = {op.block}")
+    if isinstance(op, KroneckerOperator):
+        parts.append(
+            "factors: " + " ⊗ ".join(f"{type(f).__name__}{f.shape}" for f in op.factors)
+        )
+    if isinstance(op, SumOperator):
+        parts.append(
+            "terms: " + " + ".join(type(t).__name__ for t in op.terms)
+        )
+    if isinstance(op, ProductOperator):
+        parts.append(
+            "factors: " + " @ ".join(type(f).__name__ for f in op.factors)
+        )
+    return " | ".join(parts)

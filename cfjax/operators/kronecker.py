@@ -88,8 +88,10 @@ class KroneckerOperator(LinearOperator):
 
         if all(f.shape[0] <= DEFAULT.max_cholesky_size for f in self.factors):
             return self.cholesky().solve(b)
-        x, _ = cg(self._matvec, b, **kw)
-        return x
+        from .solvers import cached_jit
+
+        f = cached_jit(self, ("cg",), lambda: (lambda bb: cg(self._matvec, bb, **kw)[0]))
+        return f(b)
 
     def logdet(self):
         n_each = [f.shape[0] for f in self.factors]

@@ -167,6 +167,17 @@ def factorize(op: LinearOperator, max_cholesky_size: int = None):
     return op
 
 
+def cached_jit(op, key, make_fn):
+    """Per-operator cache of jitted closures. Calling lax.while_loop
+    solvers eagerly re-traces on every call (and on a remote-compile TPU
+    tunnel each re-trace costs a round-trip) — caching the jitted closure
+    on the operator instance makes repeated solves trace once."""
+    cache = op.__dict__.setdefault("_jit_cache", {})
+    if key not in cache:
+        cache[key] = jax.jit(make_fn())
+    return cache[key]
+
+
 def solve(op, b, tol: float = None, maxiter: int = None, method: str = "auto"):
     """A \\ b for any operator: Cholesky (small symmetric), CG (PSD),
     MINRES (symmetric indefinite)."""
@@ -185,8 +196,12 @@ def solve(op, b, tol: float = None, maxiter: int = None, method: str = "auto"):
     if method == "cholesky":
         return CholeskyFactorization(op).solve(b)
     mv = op._matvec
+    it = cg if method == "cg" else minres
+    f = cached_jit(
+        op,
+        (method, tol, maxiter),
+        lambda: (lambda bb: it(mv, bb, tol=tol, maxiter=maxiter)[0]),
+    )
     if b.ndim == 1:
-        x, _ = (cg if method == "cg" else minres)(mv, b, tol=tol, maxiter=maxiter)
-        return x
-    solve1 = lambda bi: (cg if method == "cg" else minres)(mv, bi, tol=tol, maxiter=maxiter)[0]
-    return jax.vmap(solve1, in_axes=1, out_axes=1)(b)
+        return f(b)
+    return jax.vmap(f, in_axes=1, out_axes=1)(b)

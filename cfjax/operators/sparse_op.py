@@ -14,6 +14,7 @@ assembles the sparse pattern on host, once, at construction.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -91,12 +92,52 @@ def _bisect_radius(k, tol: float, r_max: float = 1e6):
     return hi
 
 
-def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048):
-    """BCOO sparse approximation of gramian(k, x, y): keeps entries within
-    the analytic decay radius (reference `SparseArrays.sparse(G, tol)`,
-    src/sparse.jl:5-22). Returns (bcoo, nnz_ratio)."""
-    from jax.experimental import sparse as jsparse
+class EllSparseOperator:
+    """ELLPACK sparse matrix: per-row padded column indices + values.
 
+    The TPU-native sparse format: rows of a radius-sparsified kernel
+    matrix have bounded nnz, so (n, width) index/value arrays make the
+    MVM a dense gather + rowwise reduction — regular memory traffic
+    instead of BCOO scatter/gather."""
+
+    def __init__(self, cols, vals, m, nnz):
+        self.cols = cols          # (n, width) int32, fill = m (points at pad slot)
+        self.vals = vals          # (n, width)
+        self.shape = (cols.shape[0], m)
+        self.width = cols.shape[1]
+        self.nnz = nnz
+        self.dtype = vals.dtype
+
+    @property
+    def is_symmetric(self):
+        return False  # storage is row-wise; values may be symmetric
+
+    def __matmul__(self, a):
+        return ell_matvec(self.cols, self.vals, jnp.asarray(a))
+
+    def todense(self):
+        n, m = self.shape
+        out = jnp.zeros((n, m + 1), dtype=self.vals.dtype)
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], self.cols.shape)
+        out = out.at[rows, self.cols].add(self.vals)
+        return out[:, :m]
+
+
+@jax.jit
+def ell_matvec(cols, vals, a):
+    ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], dtype=a.dtype)])
+    gathered = ap[cols]  # (n, width[, r])
+    if a.ndim == 1:
+        return jnp.sum(vals * gathered, axis=1)
+    return jnp.sum(vals[..., None] * gathered, axis=1)
+
+
+def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
+                   format: str = "ell"):
+    """Sparse approximation of gramian(k, x, y): keeps entries within the
+    analytic decay radius (reference `SparseArrays.sparse(G, tol)`,
+    src/sparse.jl:5-22). Built entirely on device in row blocks; returns
+    (operator, nnz_ratio). format: "ell" (TPU-native, default) or "bcoo"."""
     from ..utils.grids import as_points
 
     tol = DEFAULT.default_tol if tol is None else tol
@@ -110,32 +151,58 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048):
         )
     r2 = r * r
     n, m = xp.shape[0], yp.shape[0]
-
     y2 = jnp.sum(yp * yp, axis=1)
 
     @jax.jit
-    def block_vals(xb):
+    def block_counts(xb):
+        D = jnp.maximum(
+            jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
+        )
+        return jnp.sum(D <= r2, axis=1)
+
+    # pass 1: per-row neighbor counts (device reduction, O(n) transferred)
+    counts = []
+    for i0 in range(0, n, block):
+        counts.append(np.asarray(block_counts(xp[i0 : i0 + block])))
+    counts = np.concatenate(counts)
+    width = max(8, int(-(-int(counts.max()) // 8)) * 8)
+
+    @partial(jax.jit, static_argnames=("w",))
+    def block_ell(xb, w):
         D = jnp.maximum(
             jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
         )
         mask = D <= r2
-        vals = k.profile(D)
-        return mask, vals
+        vals_full = jnp.where(mask, k.profile(D), 0.0)
 
-    rows_l, cols_l, vals_l = [], [], []
+        def row(mask_row, vals_row):
+            (idx,) = jnp.nonzero(mask_row, size=w, fill_value=m)
+            v = jnp.where(idx < m, vals_row[jnp.minimum(idx, m - 1)], 0.0)
+            return idx.astype(jnp.int32), v
+
+        return jax.vmap(row)(mask, vals_full)
+
+    cols_l, vals_l = [], []
     for i0 in range(0, n, block):
-        xb = xp[i0 : i0 + block]
-        mask, vals = block_vals(xb)
-        mask_np = np.asarray(mask)
-        ridx, cidx = np.nonzero(mask_np)
-        rows_l.append(ridx + i0)
-        cols_l.append(cidx)
-        vals_l.append(np.asarray(vals)[ridx, cidx])
+        c, v = block_ell(xp[i0 : i0 + block], width)
+        cols_l.append(c)
+        vals_l.append(v)
+    cols = jnp.concatenate(cols_l)
+    vals = jnp.concatenate(vals_l)
+    nnz = int(counts.sum())
+    ratio = nnz / (n * m)
 
-    rows = np.concatenate(rows_l)
-    cols = np.concatenate(cols_l)
-    vals = np.concatenate(vals_l)
-    indices = jnp.asarray(np.stack([rows, cols], axis=1))
-    data = jnp.asarray(vals)
-    mat = jsparse.BCOO((data, indices), shape=(n, m))
-    return mat, len(vals) / (n * m)
+    if format == "ell":
+        return EllSparseOperator(cols, vals, m, nnz), ratio
+    # BCOO export (host-side filter of pad slots)
+    from jax.experimental import sparse as jsparse
+
+    cols_np = np.asarray(cols)
+    vals_np = np.asarray(vals)
+    rows_np = np.broadcast_to(np.arange(n)[:, None], cols_np.shape)
+    keep = cols_np < m
+    indices = jnp.asarray(
+        np.stack([rows_np[keep], cols_np[keep]], axis=1), dtype=jnp.int32
+    )
+    mat = jsparse.BCOO((jnp.asarray(vals_np[keep]), indices), shape=(n, m))
+    return mat, ratio

@@ -144,7 +144,10 @@ class ToeplitzOperator(LinearOperator):
         k = jnp.arange(n)
         c = jnp.where(k <= n // 2, self.col[k], self.col[(n - k) % n])
         fc = jnp.real(jnp.fft.fft(c))
-        fc = jnp.where(jnp.abs(fc) < 1e-12, 1.0, fc)
+        # relative eigenvalue floor: near-singular circulant modes would
+        # amplify roundoff and destabilize PCG (esp. in float32)
+        floor = 1e-4 * jnp.max(jnp.abs(fc))
+        fc = jnp.where(fc < floor, floor, fc)
 
         def Minv(v):
             return jnp.real(jnp.fft.ifft(jnp.fft.fft(v) / fc)).astype(v.dtype)
@@ -160,17 +163,22 @@ class ToeplitzOperator(LinearOperator):
         n = self.shape[0]
         if method == "auto":
             method = "levinson" if n <= 8192 else "cg"
+        from .solvers import cached_jit
+
         if method == "levinson":
             if b.ndim > 1:
                 return jax.vmap(lambda bi: levinson(self.col, bi), 1, 1)(b)
             return levinson(self.col, b)
         Minv = self.strang_preconditioner()
         mv = self._matvec
+        f = cached_jit(
+            self,
+            ("pcg", tol, maxiter),
+            lambda: (lambda bb: cg(mv, bb, tol=tol, maxiter=maxiter, M=Minv)[0]),
+        )
         if b.ndim > 1:
-            return jax.vmap(
-                lambda bi: cg(mv, bi, tol=tol, maxiter=maxiter, M=Minv)[0], 1, 1
-            )(b)
-        return cg(mv, b, tol=tol, maxiter=maxiter, M=Minv)[0]
+            return jax.vmap(f, 1, 1)(b)
+        return f(b)
 
 
 # --------------------------------------------------------------------------

@@ -121,3 +121,36 @@ class ShardedGramian(LinearOperator):
     def solve(self, b, tol: float = 1e-8, maxiter: int = 1000, **kw):
         x, _ = sharded_cg(self._matvec, b, tol=tol, maxiter=maxiter)
         return x
+
+
+def sharded_gramian_matvec_2d(
+    k, x, y, a, mode: str, mesh: Mesh, row_axis: str = "rows",
+    col_axis: str = "cols", block: int = 512,
+):
+    """b = K a over a 2-D mesh: rows of K sharded on `row_axis`, columns
+    (i.e. y points and the input vector) on `col_axis`. Each device
+    computes its (row-shard x col-shard) tile's partial MVM; a psum over
+    the column axis reduces the partials (this domain's 'tensor
+    parallelism'; cf. SURVEY.md §2.3)."""
+    nr = mesh.shape[row_axis]
+    nc = mesh.shape[col_axis]
+    n, m = x.shape[0], y.shape[0]
+    pr, pc = (-n) % nr, (-m) % nc
+    xp = jnp.pad(x, ((0, pr), (0, 0))) if pr else x
+    yp = jnp.pad(y, ((0, pc), (0, 0))) if pc else y
+    ap = jnp.pad(a, (0, pc)) if pc else a
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(row_axis, None), P(col_axis, None), P(col_axis)),
+        out_specs=P(row_axis),
+        check_vma=False,
+    )
+    def mv(k_, xs, ys, as_):
+        blk = min(block, xs.shape[0])
+        part = gramian_matvec(k_, xs, ys, as_, mode, blk)
+        return jax.lax.psum(part, col_axis)
+
+    out = mv(k, xp, yp, ap)
+    return out[:n]
