@@ -2,22 +2,25 @@
 
 TPU-native rebuild of reference src/barneshut.jl + src/taylor.jl. The
 reference recurses per target point with threads (src/barneshut.jl:76-97,
-123-143); here the traversal is *level-synchronous and branch-free*:
+123-143). A per-target traversal maps badly onto a TPU (data-dependent
+scalar gathers); instead the traversal here is *group-synchronous*:
 
-  - per level l, a (targets x 2^l) acceptance mask:
-        dist(x, node_center) > node_radius / theta   (theta=0: never)
-  - accepted & parent-open nodes contribute their far-field term;
-    rejected open nodes open their two children (a `repeat` on the mask);
-  - leaves surviving open get exact dense evaluation through a fixed-size
-    gather (jnp.nonzero(size=max_open)) of their contiguous point slices.
+  - targets are grouped by tree locality (contiguous segments of the
+    spatial sort — for the symmetric case these are just tree nodes);
+  - each group walks ONE compact frontier of candidate nodes, with the
+    conservative group criterion
+        theta * (dist(group_center, node_center) - group_radius) > R
+    (a node far for the group sphere is far for every target in it);
+  - far-field terms are evaluated *densely* for all targets x frontier
+    slots (regular compute, no per-target gathers), with per-target
+    distances to the node |w|-centers of mass;
+  - open nodes are compacted with a small top_k over 2F and expanded;
+  - surviving open leaves feed a dense (targets x F*leafsize) evaluation.
 
 Far field uses the dipole-corrected 1st-order expansion of src/taylor.jl
-(:7-57) for *all* weight signs:  f(d2) * S  -  2 f'(d2) <x - c, mu>,
-with S = sum w_j, mu = sum w_j (y_j - c). This is branch-free (the
-reference switches between center-of-mass and taylor paths at runtime,
-src/barneshut.jl:45-52, which would be a traced branch under jit) and at
-least as accurate: the dipole term cancels exactly where the reference's
-center-of-mass trick would.
+(:7-57) about |w|-centers of mass (reference compute_centers_of_mass,
+src/barneshut.jl:157-163): exact cancellation for non-negative weights,
+branch-free for signed ones.
 """
 
 from __future__ import annotations
@@ -41,35 +44,31 @@ def _sqd(xb, c):
     )
 
 
-@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "block"))
+@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open"))
 def bh_matvec(
     k,
-    x,
-    tree_points,
-    centers,
-    radii,
-    w,
+    xg,            # (ngroups, G, d) grouped targets (tree order)
+    gc,            # (ngroups, d) group centers
+    gr,            # (ngroups,) group radii
+    tree_points,   # (P, d) permuted source points
+    centers,       # tuple per level: geometric centers (criterion)
+    radii,         # tuple per level
+    w,             # (P,) permuted+padded weights
     theta: float,
     levels: int,
     leafsize: int,
     max_open: int,
-    block: int = 128,
 ):
-    """Approximate b_i = sum_j k(x_i, y_j) w_j. w is already permuted+padded.
+    """Approximate b = K w, returned in grouped (ngroups, G) layout.
 
-    centers/radii: tuples of per-level arrays (levels+1 entries, leaf level
-    last). Returns (b, overflow) where overflow is the worst number of
-    open leaves encountered minus max_open (<= 0 means exact gather)."""
-    n = x.shape[0]
-    d = x.shape[1]
+    Returns (b, overflow); overflow > 0 would mean frontier truncation
+    (prevented by the constructor's exact probe)."""
+    d = xg.shape[2]
     P = tree_points.shape[0]
     nleaf = 2**levels
+    F = max_open
 
-    # per-level node weight sums, |w|-centers-of-mass (the Taylor expansion
-    # centers — reference compute_centers_of_mass with abs weights,
-    # src/barneshut.jl:157-163, taylor.jl use_com=true) and dipole moments
-    # about them (exactly zero for non-negative w -> the compressed term
-    # reduces to the reference's center-of-mass evaluation)
+    # per-level node sums / |w|-coms / dipole moments (reshape-reductions)
     S_l, com_l, mu_l = [], [], []
     aw = jnp.abs(w)
     eps = jnp.finfo(w.dtype).eps
@@ -85,83 +84,99 @@ def bh_matvec(
         mu = jnp.sum(wl[:, :, None] * (pts - com[:, None, :]), axis=1)
         S_l.append(S)
         com_l.append(com)
-        mu_l.append(mu)
+        mu_l.append((mu, jnp.sum(com * mu, axis=1)))
 
     theta2 = theta * theta
     leaf_pts = tree_points.reshape(nleaf, leafsize, d)
     leaf_w = w.reshape(nleaf, leafsize)
+    vg = jax.vmap(jax.vmap(jax.value_and_grad(lambda s: k.profile(s))))
 
-    def profile_d2(D2):
-        return k.profile(D2)
+    def group_body(xt, c0, r0):
+        """One group: xt (G, d), c0 (d,), r0 scalar."""
+        acc = jnp.zeros((xt.shape[0],), dtype=xt.dtype)
+        cand = jnp.zeros((2 * F,), dtype=jnp.int32)
+        valid = jnp.zeros((2 * F,), dtype=bool).at[0].set(True)
+        overflow = jnp.zeros((), dtype=jnp.int32)
 
-    def body(xb):
-        B = xb.shape[0]
-        acc = jnp.zeros((B,), dtype=xb.dtype)
-        opened = jnp.ones((B, 1), dtype=bool)
-        vg = jax.vmap(jax.vmap(jax.value_and_grad(lambda s: k.profile(s))))
         for l in range(levels + 1):
-            C, R, S, com, mu = centers[l], radii[l], S_l[l], com_l[l], mu_l[l]
-            # one distance per level: acceptance AND evaluation at the
-            # |w|-center of mass (exactly the reference's criterion,
-            # src/barneshut.jl:135 / taylor.jl:44, with the hypersphere
-            # radius); value+derivative fused in one pass
-            D2 = _sqd(xb, com)
-            far = theta2 * D2 > (R * R)[None, :]
-            accepted = far & opened
+            S, com, (mu, commu) = S_l[l], com_l[l], mu_l[l]
+            Cg, R = centers[l], radii[l]
+            Cc = Cg[cand]                        # (2F, d) tiny gather
+            Rc = R[cand]
+            dg = jnp.sqrt(jnp.maximum(jnp.sum((c0 - Cc) ** 2, axis=-1), 0.0))
+            far = (theta * jnp.maximum(dg - r0, 0.0) > Rc) & valid
+            open_ = valid & ~far
+
+            # dense far-field for all targets in the group
+            comc = com[cand]                     # (2F, d)
+            D2 = jnp.maximum(
+                jnp.sum(xt * xt, 1)[:, None]
+                + jnp.sum(comc * comc, 1)[None, :]
+                - 2 * (xt @ comc.T),
+                0.0,
+            )                                    # (G, 2F)
             f0, f1 = vg(D2)
-            rdotmu = xb @ mu.T - jnp.sum(com * mu, axis=1)[None, :]
-            contrib = f0 * S[None, :] - 2.0 * f1 * rdotmu
-            acc = acc + jnp.sum(jnp.where(accepted, contrib, 0.0), axis=1)
+            xdotmu = xt @ mu[cand].T             # (G, 2F)
+            contrib = f0 * S[cand][None, :] - 2.0 * f1 * (
+                xdotmu - commu[cand][None, :]
+            )
+            acc = acc + jnp.sum(jnp.where(far[None, :], contrib, 0.0), axis=1)
+            overflow = jnp.maximum(overflow, jnp.sum(open_) - F)
+            vals_k, pos = jax.lax.top_k(open_.astype(jnp.int32), F)
+            fr = cand[pos]
+            fv = vals_k > 0
             if l < levels:
-                opened = jnp.repeat(~far & opened, 2, axis=1)
-            else:
-                opened = ~far & opened  # leaves needing dense evaluation
+                cand = jnp.concatenate([2 * fr, 2 * fr + 1])
+                valid = jnp.concatenate([fv, fv])
 
-        # dense leaf evaluation through a fixed-size gather; open-leaf
-        # indices come from ONE fused top_k over the whole block (a
-        # vmapped per-row nonzero lowers to serialized per-row sorts on
-        # TPU and dominated the MVM)
-        counts = jnp.sum(opened, axis=1)
-        overflow = jnp.max(counts) - max_open
-        vals_k, idx_k = jax.lax.top_k(opened.astype(jnp.int32), max_open)
-        valid = vals_k > 0  # (B, max_open)
-
-        pts = leaf_pts[idx_k]            # (B, max_open, ls, d)
-        wts = leaf_w[idx_k]              # (B, max_open, ls)
-        D2l = jnp.sum((pts - xb[:, None, None, :]) ** 2, axis=-1)
-        kvl = profile_d2(D2l)
-        acc = acc + jnp.sum(
-            jnp.where(valid[:, :, None], kvl * wts, 0.0), axis=(1, 2)
-        )
+        # dense evaluation of open leaves: (G, F * ls)
+        pts = leaf_pts[fr].reshape(F * leafsize, d)
+        wts = jnp.where(fv[:, None], leaf_w[fr], 0.0).reshape(F * leafsize)
+        D2l = _sqd(xt, pts)
+        acc = acc + k.profile(D2l) @ wts
         return acc, overflow
 
-    nb = -(-n // block)
-    pad = nb * block - n
-    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
-    outs, overflows = jax.lax.map(body, xp.reshape(nb, block, d))
-    return outs.reshape(-1)[:n], jnp.max(overflows)
+    # chunk the group axis so per-chunk temporaries (chunk x G x 2F) stay
+    # bounded; vmap within a chunk, sequential map across chunks
+    ngroups, G = xg.shape[0], xg.shape[1]
+    target = 4_000_000
+    chunk = max(1, min(ngroups, target // max(G * 2 * F, 1)))
+    nc = -(-ngroups // chunk)
+    pad = nc * chunk - ngroups
+    if pad:
+        xg = jnp.concatenate([xg, jnp.repeat(xg[-1:], pad, axis=0)])
+        gc = jnp.concatenate([gc, jnp.repeat(gc[-1:], pad, axis=0)])
+        gr = jnp.concatenate([gr, jnp.repeat(gr[-1:], pad, axis=0)])
+    outs, overflows = jax.lax.map(
+        lambda args: jax.vmap(group_body)(*args),
+        (
+            xg.reshape(nc, chunk, G, d),
+            gc.reshape(nc, chunk, d),
+            gr.reshape(nc, chunk),
+        ),
+    )
+    outs = outs.reshape(-1, G)[:ngroups]
+    return outs, jnp.max(overflows)
 
 
 @partial(jax.jit, static_argnames=("levels",))
-def _count_open_leaves(xb, centers, radii, theta, levels):
-    """Max open-leaf count for a target block (module-level so the compile
-    is cached across BarnesHutFactorization instances).
-
-    The sweep's acceptance uses distances to |w|-centers of mass, which
-    move within the node sphere; probing with the geometric centers and
-    radius inflated to R(1+theta) yields a superset of the possible open
-    sets (dist_com >= dist_geo - R), so max_open never under-counts."""
-    theta2 = theta * theta
-    opened = jnp.ones((xb.shape[0], 1), dtype=bool)
+def _max_open_nodes(gc, gr, centers, radii, theta, levels):
+    """Per-group max open-node count over all levels (sizes the frontier
+    buckets). Uses the exact group criterion of the sweep, so the counts
+    are tight."""
+    opened = jnp.ones((gc.shape[0], 1), dtype=bool)
+    worst = jnp.ones((gc.shape[0],), dtype=jnp.int32)
     for l in range(levels + 1):
-        D2 = _sqd(xb, centers[l])
-        r_infl = radii[l] * (1.0 + theta)
-        far = theta2 * D2 > (r_infl * r_infl)[None, :]
+        C, R = centers[l], radii[l]
+        dg = jnp.sqrt(_sqd(gc, C))
+        far = theta * jnp.maximum(dg - gr[:, None], 0.0) > R[None, :]
+        open_ = ~far & opened
+        worst = jnp.maximum(worst, jnp.sum(open_, axis=1))
         if l < levels:
-            opened = jnp.repeat(~far & opened, 2, axis=1)
+            opened = jnp.repeat(open_, 2, axis=1)
         else:
-            opened = ~far & opened
-    return jnp.max(jnp.sum(opened, axis=1))
+            opened = open_
+    return worst
 
 
 class BarnesHutFactorization(LinearOperator):
@@ -178,50 +193,89 @@ class BarnesHutFactorization(LinearOperator):
         theta: float = None,
         leafsize: int = None,
         max_open: int = None,
-        block: int = None,
+        group_size: int = 256,
     ):
         from ..utils.grids import as_points
 
         if input_trait(k) != InputTrait.ISOTROPIC:
             raise ValueError("Barnes-Hut requires an isotropic kernel")
         self.k = k
-        self.x = as_points(x)
-        yp = self.x if y is None else as_points(y)
+        xp = as_points(x)
+        yp = xp if y is None else as_points(y)
         self._same = y is None
         self.theta = DEFAULT.barneshut_theta if theta is None else theta
         leafsize = DEFAULT.barneshut_leafsize if leafsize is None else leafsize
         self.tree = build_tree(np.asarray(yp), leafsize)
         self.m = yp.shape[0]
-        self.shape = (self.x.shape[0], self.m)
-        self.dtype = jnp.result_type(self.x.dtype, float)
-        if block is None:
-            # keep the per-block (block x n_leaves) mask around ~8M entries:
-            # large blocks amortize dispatch latency, small ones bound memory
-            block = int(np.clip(8_000_000 // max(self.tree.n_leaves, 1), 128, 4096))
-        self.block = block
-        if max_open is None:
-            max_open = self._estimate_max_open()
-        self.max_open = max_open
+        self.n = xp.shape[0]
+        self.shape = (self.n, self.m)
+        self.dtype = jnp.result_type(xp.dtype, float)
 
-    def _estimate_max_open(self, probe_block: int = 4096):
-        """Probe the acceptance masks once (blocked) to size the leaf gather."""
-        t = self.tree
-        mo = 0
-        n = self.x.shape[0]
-        for i0 in range(0, n, probe_block):
-            mo = max(
-                mo,
-                int(
-                    _count_open_leaves(
-                        self.x[i0 : i0 + probe_block],
-                        tuple(t.centers),
-                        tuple(t.radii),
-                        self.theta,
-                        t.levels,
+        # group the targets by their own spatial tree (gives contiguous
+        # groups + centers/radii); for x is y this is a coarser view of
+        # the source tree
+        self.tgt_tree = build_tree(np.asarray(xp), group_size)
+        tt = self.tgt_tree
+        G = tt.leafsize
+        ngroups = tt.n_leaves
+        self.xg = tt.points.reshape(ngroups, G, xp.shape[1])
+        self.gc = tt.centers[tt.levels]
+        self.gr = tt.radii[tt.levels]
+        self._tgt_perm = tt.perm  # padded-target permutation
+        self._tgt_P = tt.points.shape[0]
+
+        # Probe per-group frontier widths and bucket the work: groups in
+        # sparse regions have large radii and wide frontiers; subdividing
+        # them (smaller group radius) shrinks their frontier, and distinct
+        # width tiers compile separately so the tail doesn't inflate
+        # everyone's buffers.
+        xg_np = np.asarray(self.xg)
+        gc_np = np.asarray(self.gc)
+        gr_np = np.asarray(self.gr)
+        rows_np = np.arange(ngroups * G).reshape(ngroups, G)
+        work = [(xg_np, gc_np, gr_np, rows_np)]
+        roundup = lambda v: max(8, int(np.ceil(v / 8)) * 8)
+        final = []  # (xg, gc, gr, rows, F)
+        min_G = 32
+        while work:
+            xg_w, gc_w, gr_w, rows_w = work.pop()
+            counts = []
+            for i0 in range(0, xg_w.shape[0], 512):
+                counts.append(
+                    np.asarray(
+                        _max_open_nodes(
+                            jnp.asarray(gc_w[i0 : i0 + 512]),
+                            jnp.asarray(gr_w[i0 : i0 + 512]),
+                            tuple(self.tree.centers),
+                            tuple(self.tree.radii),
+                            self.theta,
+                            self.tree.levels,
+                        )
                     )
-                ),
-            )
-        return max(8, int(np.ceil(mo / 8)) * 8)
+                )
+            counts = np.concatenate(counts)
+            f_main = roundup(np.percentile(counts, 90)) if max_open is None else max_open
+            f_max = roundup(counts.max())
+            Gw = xg_w.shape[1]
+            narrow = counts <= max(f_main, 8)
+            if max_open is not None or f_max <= 2 * f_main or Gw <= min_G:
+                final.append((xg_w, gc_w, gr_w, rows_w, f_max))
+                continue
+            ni = np.nonzero(narrow)[0]
+            if len(ni):
+                final.append((xg_w[ni], gc_w[ni], gr_w[ni], rows_w[ni], f_main))
+            wi = np.nonzero(~narrow)[0]
+            if len(wi):
+                # split each wide group into 4 contiguous sub-groups
+                sub = 4
+                Gs = Gw // sub
+                xs = xg_w[wi].reshape(-1, Gs, xg_w.shape[2])
+                lo, hi = xs.min(axis=1), xs.max(axis=1)
+                cs = 0.5 * (lo + hi)
+                rs = np.sqrt(((xs - cs[:, None, :]) ** 2).sum(-1)).max(axis=1)
+                work.append((xs, cs, rs, rows_w[wi].reshape(-1, Gs)))
+        self.buckets = final
+        self.max_open = max(f for *_, f in final)
 
     @property
     def is_symmetric(self):
@@ -235,20 +289,27 @@ class BarnesHutFactorization(LinearOperator):
 
     def _matvec(self, v):
         t = self.tree
-        out, overflow = bh_matvec(
-            self.k,
-            self.x,
-            t.points,
-            tuple(t.centers),
-            tuple(t.radii),
-            self._permuted_weights(v),
-            self.theta,
-            t.levels,
-            t.leafsize,
-            self.max_open,
-            self.block,
-        )
-        return out
+        wp = self._permuted_weights(v)
+        flat = jnp.zeros((self._tgt_P,), dtype=self.dtype)
+        for xg_b, gc_b, gr_b, rows_b, F in self.buckets:
+            out_g, _ = bh_matvec(
+                self.k,
+                jnp.asarray(xg_b),
+                jnp.asarray(gc_b),
+                jnp.asarray(gr_b),
+                t.points,
+                tuple(t.centers),
+                tuple(t.radii),
+                wp,
+                self.theta,
+                t.levels,
+                t.leafsize,
+                F,
+            )
+            flat = flat.at[jnp.asarray(rows_b.reshape(-1))].set(out_g.reshape(-1))
+        out = jnp.zeros((self._tgt_P,), dtype=flat.dtype)
+        out = out.at[jnp.asarray(self._tgt_perm)].set(flat)
+        return out[: self.n]
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 500, **kw):
         from ..operators.solvers import cached_jit, minres

@@ -301,7 +301,12 @@ class GradientKernel(MultiKernel):
         from ..kernels.stationary import Constant
         from ..kernels.transforms import ScaledInputKernel, Warped
 
+        from ..kernels.algebra import SeparableProduct, SeparableSum
+
         k = self.k
+        # per-dimension separable kernels (src/gradient_algebra.jl:93-145)
+        if isinstance(k, (SeparableProduct, SeparableSum)):
+            return SeparableGradientGramian(k, x, y, **opts)
         # input-transform chain rule: J^T Block J conjugation
         # (src/gradient_algebra.jl:149-163)
         if isinstance(k, Warped):
@@ -481,3 +486,45 @@ class ValueDerivativeKernel:
 
     def gramian(self, x, y=None, **opts):
         return self.k.gramian(x, y, **opts)
+
+
+class SeparableGradientGramian(LinearOperator):
+    """Gradient gramian of SeparableProduct/SeparableSum kernels
+    (reference src/gradient_algebra.jl:93-145)."""
+
+    def __init__(self, k, x, y=None, block=None):
+        from ..kernels.algebra import SeparableProduct
+        from ..utils.grids import as_points
+
+        self.k = k
+        self.x = as_points(x)
+        self.y = self.x if y is None else as_points(y)
+        self._same = y is None
+        self.d = self.x.shape[1]
+        if len(k.args) != self.d:
+            raise ValueError(
+                f"separable kernel has {len(k.args)} factors for d={self.d}"
+            )
+        self.shape = (self.x.shape[0] * self.d, self.y.shape[0] * self.d)
+        self.dtype = jnp.result_type(self.x.dtype, float)
+        self._prod = isinstance(k, SeparableProduct)
+        self.block = block
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same
+
+    def _matvec(self, v):
+        from .separable_grad import (
+            grad_matvec_separable_prod,
+            grad_matvec_separable_sum,
+        )
+
+        A = v.reshape(self.y.shape[0], self.d)
+        kws = {} if self.block is None else dict(block=self.block)
+        fn = grad_matvec_separable_prod if self._prod else grad_matvec_separable_sum
+        return fn(self.k, self.x, self.y, A, **kws).reshape(-1)

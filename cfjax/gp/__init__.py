@@ -3,4 +3,5 @@ from .regression import (
     gp_condition,
     log_marginal_likelihood,
 )
+from .fit import fit_kernel
 from .hmc import hmc_sample

@@ -108,6 +108,20 @@ def gramian_dense(k, x, y, mode: str = "iso", block: int = 512):
     return out.reshape(-1, y.shape[0])[:n]
 
 
+def _contains_matern_nu(k) -> bool:
+    from ..kernels.stationary import Matern
+    from ..kernels.algebra import Power, Product, Sum
+    from ..kernels.transforms import Chained, Lengthscale
+
+    if isinstance(k, Matern):
+        return True
+    if isinstance(k, (Sum, Product)):
+        return any(_contains_matern_nu(a) for a in k.args)
+    if isinstance(k, (Power, Chained, Lengthscale)):
+        return _contains_matern_nu(k.k)
+    return False
+
+
 def mvm_mode(k) -> str:
     t = input_trait(k)
     if t == InputTrait.ISOTROPIC:
@@ -140,6 +154,10 @@ class Gramian(LinearOperator):
         self.mode = mvm_mode(k)
         if block is None:
             block = DEFAULT.mvm_block_rows if self.mode != "generic" else 128
+            if _contains_matern_nu(k):
+                # real-nu Matern profiles expand every tile element by the
+                # Bessel quadrature's node count — keep tiles small
+                block = min(block, 32)
         self.block = min(block, self.shape[0])
         self.use_pallas = use_pallas
 

@@ -283,3 +283,24 @@ def test_valuegradient_pair(rng):
     Kd = dense_valgrad_oracle(k, x, x)
     v = rng.standard_normal(n * (d + 1))
     np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_gradient_separable_kernels(rng):
+    """SeparableProduct/Sum gradient fast paths vs dense AD oracle
+    (reference src/gradient_algebra.jl:93-145)."""
+    from cfjax.kernels import SeparableProduct, SeparableSum, EQ, RQ, Cauchy
+    from cfjax.derivative.gradient import SeparableGradientGramian
+
+    n, d = 7, 3
+    x = rand_pts(rng, n, d)
+    for k in [
+        SeparableProduct((EQ(), RQ(1.5), Cauchy())),
+        SeparableSum((EQ(), RQ(1.5), Cauchy())),
+    ]:
+        G = GradientKernel(k).gramian(x)
+        assert isinstance(G, SeparableGradientGramian)
+        Kd = dense_gradient_oracle(k, x, x)
+        v = rng.standard_normal(n * d)
+        np.testing.assert_allclose(
+            np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7, atol=1e-9
+        )

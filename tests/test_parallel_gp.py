@@ -166,3 +166,19 @@ def test_warped_gradient_conjugation(rng):
     )(x)
     Kw = np.asarray(jnp.transpose(Bw, (0, 2, 1, 3)).reshape(n * d, n * d))
     np.testing.assert_allclose(np.asarray(Gw @ jnp.asarray(v)), Kw @ v, rtol=1e-7)
+
+
+def test_fit_kernel_optax(rng):
+    """optax-based logML fit recovers lengthscale (Flux-equivalent of
+    reference test/optimization.jl)."""
+    from cfjax.gp import fit_kernel
+
+    true_l = 0.6
+    noise = 1e-2
+    x = jnp.asarray(rng.uniform(-2, 2, (64, 1)))
+    K = np.asarray(pairwise(Lengthscale(EQ(), true_l), x, x)) + noise * np.eye(64)
+    y = jnp.asarray(np.linalg.cholesky(K) @ rng.standard_normal(64))
+    k0 = Lengthscale(EQ(), 1.5)
+    k_fit, hist = fit_kernel(k0, x, y, noise=noise, steps=120, lr=0.05)
+    assert hist[-1] < hist[0]  # loss decreased
+    assert abs(float(k_fit.l) - true_l) < 0.3, float(k_fit.l)
