@@ -104,7 +104,9 @@ def bh_matvec(
             Cc = Cg[cand]                        # (2F, d) tiny gather
             Rc = R[cand]
             dg = jnp.sqrt(jnp.maximum(jnp.sum((c0 - Cc) ** 2, axis=-1), 0.0))
-            far = (theta * jnp.maximum(dg - r0, 0.0) > Rc) & valid
+            # zero-radius nodes (e.g. padded duplicate points) are exactly
+            # compressible: every point sits at the center of mass
+            far = ((theta * jnp.maximum(dg - r0, 0.0) > Rc) | (Rc <= 0.0)) & valid
             open_ = valid & ~far
 
             # dense far-field for all targets in the group
@@ -169,7 +171,9 @@ def _max_open_nodes(gc, gr, centers, radii, theta, levels):
     for l in range(levels + 1):
         C, R = centers[l], radii[l]
         dg = jnp.sqrt(_sqd(gc, C))
-        far = theta * jnp.maximum(dg - gr[:, None], 0.0) > R[None, :]
+        far = (theta * jnp.maximum(dg - gr[:, None], 0.0) > R[None, :]) | (
+            R[None, :] <= 0.0
+        )
         open_ = ~far & opened
         worst = jnp.maximum(worst, jnp.sum(open_, axis=1))
         if l < levels:
@@ -266,14 +270,26 @@ class BarnesHutFactorization(LinearOperator):
                 final.append((xg_w[ni], gc_w[ni], gr_w[ni], rows_w[ni], f_main))
             wi = np.nonzero(~narrow)[0]
             if len(wi):
-                # split each wide group into 4 contiguous sub-groups
+                # split each wide group into 4 contiguous sub-groups;
+                # repeat-pad so Gw divides evenly (duplicated targets
+                # scatter the same value to the same output row)
                 sub = 4
-                Gs = Gw // sub
-                xs = xg_w[wi].reshape(-1, Gs, xg_w.shape[2])
+                Gs = -(-Gw // sub)
+                pad = sub * Gs - Gw
+                xg_wide = xg_w[wi]
+                rows_wide = rows_w[wi]
+                if pad:
+                    xg_wide = np.concatenate(
+                        [xg_wide, np.repeat(xg_wide[:, -1:], pad, axis=1)], axis=1
+                    )
+                    rows_wide = np.concatenate(
+                        [rows_wide, np.repeat(rows_wide[:, -1:], pad, axis=1)], axis=1
+                    )
+                xs = xg_wide.reshape(-1, Gs, xg_w.shape[2])
                 lo, hi = xs.min(axis=1), xs.max(axis=1)
                 cs = 0.5 * (lo + hi)
                 rs = np.sqrt(((xs - cs[:, None, :]) ** 2).sum(-1)).max(axis=1)
-                work.append((xs, cs, rs, rows_w[wi].reshape(-1, Gs)))
+                work.append((xs, cs, rs, rows_wide.reshape(-1, Gs)))
         self.buckets = final
         self.max_open = max(f for *_, f in final)
 
