@@ -89,9 +89,8 @@ def bench_toeplitz():
     Tn = T.add_diagonal(1e-2)
     b = Tn @ a
     Minv = T.strang_preconditioner()
-    dt, (x_cg, info) = timeit(
-        lambda: _cg(Tn._matvec, b, tol=1e-5, maxiter=600, M=Minv), iters=2
-    )
+    solve_jit = jax.jit(lambda bb: _cg(Tn._matvec, bb, tol=1e-5, maxiter=600, M=Minv))
+    dt, (x_cg, info) = timeit(lambda: solve_jit(b), iters=2)
     err = float(jnp.linalg.norm(Tn @ x_cg - b) / jnp.linalg.norm(b))
     record("toeplitz_solve_pcg_noisy_n65536", dt, 0.173 * 16,
            f"rel res {err:.1e}, {int(info[0])} iters; ref levinson scaled from n=16384")

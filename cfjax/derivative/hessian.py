@@ -359,5 +359,30 @@ class ValueGradientHessianKernel(MultiKernel):
         D = 1 + d + d * d
         return (D, D)
 
+    def __call__(self, x, y):
+        x = jnp.atleast_1d(jnp.asarray(x))
+        y = jnp.atleast_1d(jnp.asarray(y))
+        d = x.shape[0]
+        k = self.k
+        kv = k(x, y)
+        gx = jax.grad(lambda x_: k(x_, y))(x)
+        gy = jax.grad(lambda y_: k(x, y_))(y)
+        GG = jax.jacfwd(lambda y_: jax.grad(lambda x_: k(x_, y_))(x))(y)
+        HV = jax.hessian(lambda x_: k(x_, y))(x).reshape(d * d)
+        VH = jax.hessian(lambda y_: k(x, y_))(y).reshape(d * d)
+        GH = jax.jacfwd(jax.jacfwd(lambda y_: jax.grad(lambda x_: k(x_, y_))(x)))(
+            y
+        ).reshape(d, d * d)
+        HG = jax.jacfwd(lambda y_: jax.hessian(lambda x_: k(x_, y_))(x))(y).reshape(
+            d * d, d
+        )
+        HH = jax.jacfwd(jax.jacfwd(lambda y_: jax.hessian(lambda x_: k(x_, y_))(x)))(
+            y
+        ).reshape(d * d, d * d)
+        top = jnp.concatenate([kv[None], gy, VH])[None, :]
+        mid = jnp.concatenate([gx[:, None], GG, GH], axis=1)
+        bot = jnp.concatenate([HV[:, None], HG, HH], axis=1)
+        return jnp.concatenate([top, mid, bot], axis=0)
+
     def gramian(self, x, y=None, **opts):
         return ValueGradientHessianGramian(self.k, x, y, **opts)
