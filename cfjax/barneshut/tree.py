@@ -28,6 +28,8 @@ class BalancedTree:
     levels: int               # L: number of internal levels; leaves = 2^L
     centers: list             # per level l: (2^l, d) geometric centers
     radii: list               # per level l: (2^l,) covering radii
+    centers_np: list = None   # numpy mirrors for host-side probes
+    radii_np: list = None
 
     @property
     def n_leaves(self):
@@ -67,6 +69,7 @@ def build_tree(y, leafsize: int = 16) -> BalancedTree:
     points = yp[perm]
 
     centers, radii = [], []
+    centers_np, radii_np = [], []
     for l in range(L + 1):
         nl = 2**l
         seg = P // nl
@@ -77,6 +80,8 @@ def build_tree(y, leafsize: int = 16) -> BalancedTree:
         r = np.sqrt(((pts - c[:, None, :]) ** 2).sum(-1)).max(axis=1)
         centers.append(jnp.asarray(c))
         radii.append(jnp.asarray(r))
+        centers_np.append(c)
+        radii_np.append(r)
 
     return BalancedTree(
         perm=perm,
@@ -86,4 +91,6 @@ def build_tree(y, leafsize: int = 16) -> BalancedTree:
         levels=L,
         centers=centers,
         radii=radii,
+        centers_np=centers_np,
+        radii_np=radii_np,
     )

@@ -67,3 +67,6 @@ from .derivatives import (
     elementwise_derivatives,
     value_derivative,
 )
+
+# reference-name alias (src/stationary.jl:197 `CosineKernel`)
+CosineKernel = Cosine

@@ -190,10 +190,9 @@ def gramian(k, x, y=None, **opts):
         # plain isotropic distance in the embedded space
         grid = _uniform_grid_of(x)
         if grid is not None and same:
-            pts = grid.points()
             span = grid.step * grid.num
             if np.isclose(span, round(span)) and round(span) >= 1:
-                col = jax.vmap(lambda xj: k(pts[0], xj))(pts)
+                col = _grid_col(k, grid.start, grid.step, grid.start, grid.num)
                 return CirculantOperator(col)
         xp = as_points(x)
         emb = jnp.concatenate(
@@ -244,15 +243,13 @@ def gramian(k, x, y=None, **opts):
         InputTrait.STATIONARY,
         InputTrait.STATIONARY_LINEAR_FUNCTIONAL,
     ):
-        px = gx.points()
         if same:
-            col = _kernel_col(k, px[0], px)
+            col = _grid_col(k, gx.start, gx.step, gx.start, gx.num)
             return ToeplitzOperator(col)
         gy = _uniform_grid_of(y)
         if gy is not None and np.isclose(gx.step, gy.step) and gx.num == gy.num:
-            py = gy.points()
-            col = _kernel_col(k, py[0], px)
-            row = _kernel_col(k, px[0], py)
+            col = _grid_col(k, gy.start, gx.step, gx.start, gx.num)
+            row = _grid_col(k, gx.start, gy.step, gy.start, gy.num)
             return ToeplitzOperator(col, row)
 
     # 9. fallback: lazy blocked/Pallas Gramian
@@ -287,6 +284,18 @@ def _uniform_grid_of(x):
 
 
 def _kernel_col(k, x0, pts):
+    return jax.vmap(lambda xj: k(x0, xj))(pts)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("num",))
+def _grid_col(k, x0, step, start, num):
+    """First column k(x0, start + step*j) of a grid Gramian, evaluated in
+    ONE device dispatch (eager vmap issues one round trip per primitive,
+    which dominates construction on a remote-compile tunnel)."""
+    pts = start + step * jnp.arange(num, dtype=jnp.result_type(float))
     return jax.vmap(lambda xj: k(x0, xj))(pts)
 
 

@@ -94,8 +94,20 @@ class LinearOperator:
 
         return _solve(self, b, **kw)
 
+    def _dense_recipe(self):
+        """(pure_fn, arrays) with pure_fn(*arrays) == todense() and
+        pure_fn a module-level function (stable jit cache key). Callers
+        fuse several factors' materialization + downstream math into one
+        jitted dispatch — on a remote-compile tunnel, eager per-primitive
+        round trips dominate small-factor work like Kronecker Cholesky."""
+        return _eager_dense, (self.todense(),)
+
     def __repr__(self):
         return f"{type(self).__name__}(shape={self.shape})"
+
+
+def _eager_dense(A):
+    return A
 
 
 class DenseOperator(LinearOperator):
@@ -125,6 +137,9 @@ class DenseOperator(LinearOperator):
 
     def diagonal(self):
         return jnp.diagonal(self.A)
+
+    def _dense_recipe(self):
+        return _eager_dense, (self.A,)
 
 
 class DiagonalOperator(LinearOperator):

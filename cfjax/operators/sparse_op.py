@@ -132,6 +132,41 @@ def ell_matvec(cols, vals, a):
     return jnp.sum(vals[..., None] * gathered, axis=1)
 
 
+@jax.jit
+def _ell_counts(xb3, yp, r2):
+    y2 = jnp.sum(yp * yp, axis=1)
+
+    def one(xb):
+        D = jnp.maximum(
+            jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
+        )
+        return jnp.sum(D <= r2, axis=1)
+
+    return jax.lax.map(one, xb3)
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _ell_build(k, xb3, yp, r2, w):
+    m = yp.shape[0]
+    y2 = jnp.sum(yp * yp, axis=1)
+
+    def one(xb):
+        D = jnp.maximum(
+            jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
+        )
+        mask = D <= r2
+        vals_full = jnp.where(mask, k.profile(D), 0.0)
+
+        def row(mask_row, vals_row):
+            (idx,) = jnp.nonzero(mask_row, size=w, fill_value=m)
+            v = jnp.where(idx < m, vals_row[jnp.minimum(idx, m - 1)], 0.0)
+            return idx.astype(jnp.int32), v
+
+        return jax.vmap(row)(mask, vals_full)
+
+    return jax.lax.map(one, xb3)
+
+
 def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
                    format: str = "ell"):
     """Sparse approximation of gramian(k, x, y): keeps entries within the
@@ -151,44 +186,25 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
         )
     r2 = r * r
     n, m = xp.shape[0], yp.shape[0]
-    y2 = jnp.sum(yp * yp, axis=1)
+    nb = -(-n // block)
+    # pad rows far away (finite: 1e15^2 stays inside float32 range, so no
+    # inf-inf NaNs in the distance expansion); padded rows match nothing
+    xpad = jnp.pad(xp, ((0, nb * block - n), (0, 0)), constant_values=1e15)
 
-    @jax.jit
-    def block_counts(xb):
-        D = jnp.maximum(
-            jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
-        )
-        return jnp.sum(D <= r2, axis=1)
+    # pass 1: per-row neighbor counts — ONE dispatch (lax.map over row
+    # blocks; per-block eager dispatches each cost a tunnel round trip)
+    counts = np.asarray(
+        _ell_counts(xpad.reshape(nb, block, -1), yp, r2)
+    ).reshape(-1)[:n]
+    # multiple-of-8 width: tight storage/gather traffic (pow2 rounding
+    # inflated the MVM by width/max); distinct widths compile separately
+    # but land in the persistent compile cache
+    width = max(8, -(-int(counts.max()) // 8) * 8)
 
-    # pass 1: per-row neighbor counts (device reduction, O(n) transferred)
-    counts = []
-    for i0 in range(0, n, block):
-        counts.append(np.asarray(block_counts(xp[i0 : i0 + block])))
-    counts = np.concatenate(counts)
-    width = max(8, int(-(-int(counts.max()) // 8)) * 8)
-
-    @partial(jax.jit, static_argnames=("w",))
-    def block_ell(xb, w):
-        D = jnp.maximum(
-            jnp.sum(xb * xb, 1)[:, None] + y2[None, :] - 2 * (xb @ yp.T), 0.0
-        )
-        mask = D <= r2
-        vals_full = jnp.where(mask, k.profile(D), 0.0)
-
-        def row(mask_row, vals_row):
-            (idx,) = jnp.nonzero(mask_row, size=w, fill_value=m)
-            v = jnp.where(idx < m, vals_row[jnp.minimum(idx, m - 1)], 0.0)
-            return idx.astype(jnp.int32), v
-
-        return jax.vmap(row)(mask, vals_full)
-
-    cols_l, vals_l = [], []
-    for i0 in range(0, n, block):
-        c, v = block_ell(xp[i0 : i0 + block], width)
-        cols_l.append(c)
-        vals_l.append(v)
-    cols = jnp.concatenate(cols_l)
-    vals = jnp.concatenate(vals_l)
+    # pass 2: column indices + kernel values, ONE dispatch
+    cols, vals = _ell_build(k, xpad.reshape(nb, block, -1), yp, r2, width)
+    cols = cols.reshape(nb * block, width)[:n]
+    vals = vals.reshape(nb * block, width)[:n]
     nnz = int(counts.sum())
     ratio = nnz / (n * m)
 

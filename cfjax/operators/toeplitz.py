@@ -50,6 +50,18 @@ def toeplitz_matvec(col, row, v):
     return circulant_matvec(c, vp)[:n]
 
 
+def _toeplitz_dense(col, row):
+    n = col.shape[0]
+    d = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
+    return jnp.where(d >= 0, col[jnp.abs(d)], row[jnp.abs(d)])
+
+
+def _circulant_dense(c):
+    n = c.shape[0]
+    d = jnp.arange(n)[:, None] - jnp.arange(n)[None, :]
+    return c[jnp.mod(d, n)]
+
+
 class CirculantOperator(LinearOperator):
     """Lazy circulant matrix (reference `Circulant` path, src/gramian.jl:186-189):
     O(n) storage, FFT MVM, exact spectral solve."""
@@ -89,10 +101,10 @@ class CirculantOperator(LinearOperator):
         return jnp.sum(jnp.log(jnp.abs(jnp.fft.fft(self.c))))
 
     def todense(self):
-        n = self.shape[0]
-        i = jnp.arange(n)[:, None]
-        j = jnp.arange(n)[None, :]
-        return self.c[(i - j) % n]
+        return _circulant_dense(self.c)
+
+    def _dense_recipe(self):
+        return _circulant_dense, (self.c,)
 
     def diagonal(self):
         return jnp.full((self.shape[0],), self.c[0])
@@ -129,11 +141,10 @@ class ToeplitzOperator(LinearOperator):
         return toeplitz_matvec(self.row, self.col, v)
 
     def todense(self):
-        n = self.shape[0]
-        i = jnp.arange(n)[:, None]
-        j = jnp.arange(n)[None, :]
-        d = i - j
-        return jnp.where(d >= 0, self.col[jnp.abs(d)], self.row[jnp.abs(d)])
+        return _toeplitz_dense(self.col, self.row)
+
+    def _dense_recipe(self):
+        return _toeplitz_dense, (self.col, self.row)
 
     def diagonal(self):
         return jnp.full((self.shape[0],), self.col[0])

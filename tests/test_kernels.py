@@ -267,3 +267,28 @@ def test_ard(rng):
     assert np.isclose(float(k(x, y)), np.exp(-r2 / 2))
     # scalar -> Lengthscale
     assert isinstance(ARD(EQ(), 0.5), Lengthscale)
+
+
+def test_normed_symmetric_chained(rng):
+    """Normed custom-norm, SymmetricKernel symmetrization, Chained f∘k
+    (reference src/transformation.jl:25-39, 126-137, 141-150)."""
+    from cfjax.kernels import Normed, SymmetricKernel
+
+    x = jnp.asarray(rng.standard_normal((5, 3)))
+    y = jnp.asarray(rng.standard_normal((5, 3)))
+    w = jnp.asarray([1.0, 2.0, 0.5])
+    kn = Normed(EQ(), lambda t: jnp.sum(w * t * t))
+    for i in range(5):
+        tau = x[i] - y[i]
+        expect = jnp.exp(-jnp.sum(w * tau * tau) / 2)
+        np.testing.assert_allclose(float(kn(x[i], y[i])), float(expect), rtol=1e-12)
+
+    ks = SymmetricKernel(EQ(), z=0.5)
+    a, b = 1.3, -0.2
+    expect = (EQ()(a - 0.5, b - 0.5) + EQ()(-(a - 0.5), b - 0.5)) / 2
+    np.testing.assert_allclose(float(ks(a, b)), float(expect), rtol=1e-12)
+    # symmetry about z: k(z+t, y) == k(z-t, y)
+    np.testing.assert_allclose(float(ks(0.5 + 0.7, b)), float(ks(0.5 - 0.7, b)), rtol=1e-12)
+
+    kc = Chained(lambda v: v**3, RQ(1.5))
+    np.testing.assert_allclose(float(kc(a, b)), float(RQ(1.5)(a, b)) ** 3, rtol=1e-12)
