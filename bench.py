@@ -3,13 +3,16 @@
 Runs the lazy Gramian MVM (MaternP(2), d=3, n=16384 — reference
 README.md:30-43, BASELINE.md: 0.585 s on the reference's CPU) on the
 TPU chip and prints ONE JSON line with the speedup vs that baseline.
+
+Timing is TRUE wall clock: the axon tunnel's async dispatch lies to
+`block_until_ready` until the first device->host transfer, so we force
+synchronous dispatch and time data-chained iterations inside one jit
+dispatch (cfjax.utils.timing).
 """
 
 from __future__ import annotations
 
 import json
-import sys
-import time
 
 import numpy as np
 
@@ -23,6 +26,7 @@ def main():
 
     from cfjax.kernels import MaternP
     from cfjax.operators import Gramian
+    from cfjax.utils.timing import force_sync_dispatch, time_chained
 
     n, d = 16384, 3
     ref_seconds = 0.585  # BASELINE.md lazy dense MVM
@@ -32,19 +36,12 @@ def main():
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     k = MaternP(2)
 
+    force_sync_dispatch()
     G = Gramian(k, x)
-    # warmup / compile
-    b = G @ a
-    b.block_until_ready()
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        b = G @ a
-    b.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    dt = time_chained(G._matvec, a, iters=16)
 
     # consistency guard (don't report garbage): compare one row block
+    b = G @ a
     K_row = jax.vmap(lambda yj: k(x[0], yj))(x[:1024])
     err = float(jnp.abs(jnp.dot(K_row, a[:1024]) - _partial_row(G, a, 1024)))
     rel = err / (float(jnp.abs(b[0])) + 1e-30)
@@ -61,8 +58,6 @@ def main():
 
 
 def _partial_row(G, a, m):
-    import jax.numpy as jnp
-
     from cfjax.operators.gramian import kernel_tile
 
     K = kernel_tile(G.k, G.x[:1], G.y[:m], G.mode)

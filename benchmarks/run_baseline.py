@@ -4,6 +4,11 @@
 Prints one JSON line per config plus a markdown table, and writes
 BENCHMARKS.md at the repo root. The reference numbers are @time
 transcripts from its README on an unspecified CPU (BASELINE.md).
+
+All timings are TRUE device wall clock (cfjax.utils.timing): the axon
+tunnel's async dispatch returns from block_until_ready before the device
+finishes, so we force synchronous dispatch up front and time data-chained
+iterations inside a single jit dispatch wherever the op allows it.
 """
 
 from __future__ import annotations
@@ -23,18 +28,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cfjax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from cfjax.utils.timing import force_sync_dispatch, time_chained, time_dispatch
+
 RESULTS = []
-
-
-def timeit(fn, *args, iters=5, warmup=1):
-    for _ in range(warmup):
-        r = fn(*args)
-        jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters, r
 
 
 def record(name, seconds, ref_seconds, note=""):
@@ -58,16 +54,15 @@ def bench_dense_mvm():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     G = Gramian(MaternP(2), x)
-    dt, _ = timeit(lambda: G @ a)
-    record("dense_mvm_maternp2_n16384_d3", dt, 0.585)
+    record("dense_mvm_maternp2_n16384_d3", time_chained(G._matvec, a), 0.585)
     Gx = Gramian(MaternP(2), x, use_pallas="never")
-    dt, _ = timeit(lambda: Gx @ a)
-    record("dense_mvm_maternp2_n16384_d3_xla", dt, 0.585, "XLA path (no pallas)")
+    record("dense_mvm_maternp2_n16384_d3_xla", time_chained(Gx._matvec, a),
+           0.585, "XLA path (no pallas)")
 
 
 def bench_toeplitz():
     from cfjax.kernels import Exp
-    from cfjax.operators import ToeplitzOperator, gramian, levinson
+    from cfjax.operators import gramian, levinson
     from cfjax.utils.grids import UniformGrid
 
     rng = np.random.default_rng(0)
@@ -81,8 +76,8 @@ def bench_toeplitz():
     record("toeplitz_construct_exp_n65536", time.perf_counter() - t0, 0.572e-3 * 4,
            "ref number scaled from n=16384")
     a = jnp.asarray(rng.standard_normal(n), dtype=T.col.dtype)
-    dt, _ = timeit(lambda: T @ a)
-    record("toeplitz_fft_mvm_n65536", dt, 1.068e-3 * 4, "ref scaled from n=16384")
+    record("toeplitz_fft_mvm_n65536", time_chained(T._matvec, a), 1.068e-3 * 4,
+           "ref scaled from n=16384")
     # GP-regression solve: noisy system, Strang-PCG (the scalable path)
     from cfjax.operators import cg as _cg
 
@@ -90,7 +85,8 @@ def bench_toeplitz():
     b = Tn @ a
     Minv = T.strang_preconditioner()
     solve_jit = jax.jit(lambda bb: _cg(Tn._matvec, bb, tol=1e-5, maxiter=600, M=Minv))
-    dt, (x_cg, info) = timeit(lambda: solve_jit(b), iters=2)
+    dt = time_dispatch(solve_jit, b, iters=2)
+    x_cg, info = solve_jit(b)
     err = float(jnp.linalg.norm(Tn @ x_cg - b) / jnp.linalg.norm(b))
     record("toeplitz_solve_pcg_noisy_n65536", dt, 0.173 * 16,
            f"rel res {err:.1e}, {int(info[0])} iters; ref levinson scaled from n=16384")
@@ -99,7 +95,7 @@ def bench_toeplitz():
     g2 = UniformGrid(0.0, 1.0 / n2, n2)
     T2 = gramian(Exp(), g2)
     b2 = T2 @ jnp.asarray(rng.standard_normal(n2), dtype=T2.col.dtype)
-    dt, _ = timeit(lambda: levinson(T2.col, b2), iters=2)
+    dt = time_dispatch(lambda: levinson(T2.col, b2), iters=2)
     record("toeplitz_levinson_n16384", dt, 0.173, "sequential O(n) scan depth")
 
 
@@ -120,16 +116,15 @@ def bench_kronecker():
     record("kronecker_construct_eq3_128cubed", time.perf_counter() - t0, 23e-6)
     n = len(grid)
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
-    dt, _ = timeit(lambda: K @ a)
-    record("kronecker_mvm_eq3_128cubed", dt, 22.6e-3)
+    record("kronecker_mvm_eq3_128cubed", time_chained(K._matvec, a, iters=8), 22.6e-3)
     F = K.cholesky()  # warm
     jax.block_until_ready(F.Ls[0])
     t0 = time.perf_counter()
     F = K.cholesky()
     jax.block_until_ready(F.Ls[0])
     record("kronecker_cholesky_eq3_128cubed", time.perf_counter() - t0, 3.13e-3)
-    dt, _ = timeit(lambda: F.solve(a), iters=2)
-    record("kronecker_solve_eq3_128cubed", dt, 62.5e-3)
+    record("kronecker_solve_eq3_128cubed",
+           time_chained(F.solve, a, iters=8), 62.5e-3)
 
 
 def bench_gradient():
@@ -143,26 +138,24 @@ def bench_gradient():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(MaternP(2)), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    dt, _ = timeit(lambda: G @ v, iters=3)
-    record("gradient_mvm_maternp2_n1024_d1024", dt, 0.394)
+    record("gradient_mvm_maternp2_n1024_d1024", time_chained(G._matvec, v, iters=8), 0.394)
     op = G.add_diagonal(1e-3)
-    dt, sol = timeit(lambda: solve(op, v, tol=1e-6, maxiter=200), iters=1)
+    dt = time_dispatch(lambda: solve(op, v, tol=1e-6, maxiter=200), iters=1, repeats=1)
     record("gradient_solve_maternp2_n1024_d1024", dt, 0.817, "CG tol 1e-6")
     # driver config: EQ gradient, n=4096 d=16
     n, d = 4096, 16
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(EQ()), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    dt, _ = timeit(lambda: G @ v, iters=3)
-    record("gradient_mvm_eq_n4096_d16", dt, float("nan"), "driver config")
+    record("gradient_mvm_eq_n4096_d16", time_chained(G._matvec, v, iters=8),
+           float("nan"), "driver config")
     # composite README demo: Matern + quadratic + NN, n = d = 1024
     n, d = 1024, 1024
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     k = MaternP(2) + Line(1.0) ** 2 + NN(0.1)
     G = gramian(GradientKernel(k), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    dt, _ = timeit(lambda: G @ v, iters=2)
-    record("gradient_mvm_composite_n1024_d1024", dt, 3.14)
+    record("gradient_mvm_composite_n1024_d1024", time_chained(G._matvec, v, iters=8), 3.14)
 
 
 def bench_hessian():
@@ -174,8 +167,7 @@ def bench_hessian():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = HessianKernel(EQ()).gramian(x)
     v = jnp.asarray(rng.standard_normal(n * d * d), dtype=jnp.float32)
-    dt, _ = timeit(lambda: G @ v, iters=3)
-    record("hessian_mvm_eq_n128_d16", dt, 0.077)
+    record("hessian_mvm_eq_n128_d16", time_chained(G._matvec, v, iters=8), 0.077)
 
 
 def bench_barneshut():
@@ -189,7 +181,8 @@ def bench_barneshut():
     t0 = time.perf_counter()
     F = BarnesHutFactorization(EQ(), x, theta=0.5)
     record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077)
-    dt, b = timeit(lambda: F @ w, iters=3)
+    dt = time_chained(F._matvec, w, iters=8)
+    b = F @ w
     # spot-check error on 256 rows
     idx = rng.integers(0, n, 256)
     xs = x[jnp.asarray(idx)]
@@ -200,7 +193,8 @@ def bench_barneshut():
     err = float(jnp.linalg.norm(b[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.5_n65536", dt, 0.083, f"rel err {err:.2e} (ref 1.2e-2)")
     F2 = BarnesHutFactorization(EQ(), x, theta=0.25)
-    dt, b2 = timeit(lambda: F2 @ w, iters=3)
+    dt = time_chained(F2._matvec, w, iters=8)
+    b2 = F2 @ w
     err2 = float(jnp.linalg.norm(b2[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.25_n65536", dt, 0.223, f"rel err {err2:.2e} (ref 4.3e-3)")
 
@@ -217,8 +211,8 @@ def bench_sparse():
     record("sparsify_build_eq_n16384_d32", time.perf_counter() - t0, 7.21,
            f"nnz ratio {ratio:.4f} (ref 0.0022)")
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
-    dt, _ = timeit(lambda: S @ a, iters=5)
-    record("sparse_mvm_eq_n16384_d32", dt, 0.45e-3)
+    record("sparse_mvm_eq_n16384_d32",
+           time_chained(lambda v: S @ v, a, iters=4), 0.45e-3)
 
 
 def main():
@@ -226,6 +220,7 @@ def main():
         "dense_mvm", "toeplitz", "kronecker", "gradient", "hessian",
         "barneshut", "sparse",
     ]
+    force_sync_dispatch()
     t_all = time.time()
     for name in which:
         fn = globals()[f"bench_{name}"]
@@ -237,6 +232,9 @@ def main():
     lines = [
         "# BENCHMARKS — cfjax on TPU v5e (1 chip) vs reference CPU numbers",
         "",
+        "True device wall clock (sync dispatch + chained-iteration timing,",
+        "see cfjax/utils/timing.py).",
+        "",
         "| config | cfjax TPU | reference | speedup | note |",
         "|---|---|---|---|---|",
     ]
@@ -246,8 +244,9 @@ def main():
             f"{r['ref_seconds']*1e3:.3f} ms | {r['speedup']:.1f}x | {r['note']} |"
         )
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(os.path.dirname(__file__), "..", "BENCHMARKS.md"), "w") as f:
-        f.write(out)
+    if len(sys.argv) <= 1:
+        with open(os.path.join(os.path.dirname(__file__), "..", "BENCHMARKS.md"), "w") as f:
+            f.write(out)
     print(out)
     print(f"total wall: {time.time()-t_all:.1f}s")
 
