@@ -38,7 +38,7 @@ def main():
 
     force_sync_dispatch()
     G = Gramian(k, x)
-    dt = time_chained(G._matvec, a, iters=16)
+    dt = time_chained(G._matvec, a)
 
     # consistency guard (don't report garbage): compare one row block
     b = G @ a

@@ -7,8 +7,11 @@ transcripts from its README on an unspecified CPU (BASELINE.md).
 
 All timings are TRUE device wall clock (cfjax.utils.timing): the axon
 tunnel's async dispatch returns from block_until_ready before the device
-finishes, so we force synchronous dispatch up front and time data-chained
-iterations inside a single jit dispatch wherever the op allows it.
+finishes, so we force synchronous dispatch up front; and because the
+sync-mode per-dispatch round trip is large and drifts (1.4..30 ms), all
+repeatable ops use SLOPE timing (chained fori_loop at two trip counts)
+which cancels it exactly. One-shot construction/factorize numbers
+subtract the measured round trip and are approximate below ~1 ms.
 """
 
 from __future__ import annotations
@@ -70,10 +73,8 @@ def bench_toeplitz():
     g = UniformGrid(0.0, 1.0 / n, n)
     T = gramian(Exp(), g)  # warm (compiles the column eval)
     jax.block_until_ready(T.col)
-    t0 = time.perf_counter()
-    T = gramian(Exp(), g)
-    jax.block_until_ready(T.col)
-    record("toeplitz_construct_exp_n65536", time.perf_counter() - t0, 0.572e-3 * 4,
+    dt = time_dispatch(lambda: gramian(Exp(), g).col)
+    record("toeplitz_construct_exp_n65536", dt, 0.572e-3 * 4,
            "ref number scaled from n=16384")
     a = jnp.asarray(rng.standard_normal(n), dtype=T.col.dtype)
     record("toeplitz_fft_mvm_n65536", time_chained(T._matvec, a), 1.068e-3 * 4,
@@ -110,21 +111,17 @@ def bench_kronecker():
     k = separable("^", EQ(), d=3)
     K = gramian(k, grid)  # warm compile
     jax.block_until_ready(K.factors[0].col)
-    t0 = time.perf_counter()
-    K = gramian(k, grid)
-    jax.block_until_ready(K.factors[0].col)
-    record("kronecker_construct_eq3_128cubed", time.perf_counter() - t0, 23e-6)
+    dt = time_dispatch(lambda: gramian(k, grid).factors[0].col)
+    record("kronecker_construct_eq3_128cubed", dt, 23e-6)
     n = len(grid)
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
-    record("kronecker_mvm_eq3_128cubed", time_chained(K._matvec, a, iters=8), 22.6e-3)
+    record("kronecker_mvm_eq3_128cubed", time_chained(K._matvec, a, iters=(2, 18)), 22.6e-3)
     F = K.cholesky()  # warm
     jax.block_until_ready(F.Ls[0])
-    t0 = time.perf_counter()
-    F = K.cholesky()
-    jax.block_until_ready(F.Ls[0])
-    record("kronecker_cholesky_eq3_128cubed", time.perf_counter() - t0, 3.13e-3)
+    dt = time_dispatch(lambda: K.cholesky().Ls[0])
+    record("kronecker_cholesky_eq3_128cubed", dt, 3.13e-3)
     record("kronecker_solve_eq3_128cubed",
-           time_chained(F.solve, a, iters=8), 62.5e-3)
+           time_chained(F.solve, a, iters=(2, 18)), 62.5e-3)
 
 
 def bench_gradient():
@@ -138,7 +135,7 @@ def bench_gradient():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(MaternP(2)), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_maternp2_n1024_d1024", time_chained(G._matvec, v, iters=8), 0.394)
+    record("gradient_mvm_maternp2_n1024_d1024", time_chained(G._matvec, v, iters=(2, 18)), 0.394)
     op = G.add_diagonal(1e-3)
     dt = time_dispatch(lambda: solve(op, v, tol=1e-6, maxiter=200), iters=1, repeats=1)
     record("gradient_solve_maternp2_n1024_d1024", dt, 0.817, "CG tol 1e-6")
@@ -147,7 +144,7 @@ def bench_gradient():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(EQ()), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_eq_n4096_d16", time_chained(G._matvec, v, iters=8),
+    record("gradient_mvm_eq_n4096_d16", time_chained(G._matvec, v, iters=(2, 18)),
            float("nan"), "driver config")
     # composite README demo: Matern + quadratic + NN, n = d = 1024
     n, d = 1024, 1024
@@ -155,7 +152,7 @@ def bench_gradient():
     k = MaternP(2) + Line(1.0) ** 2 + NN(0.1)
     G = gramian(GradientKernel(k), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_composite_n1024_d1024", time_chained(G._matvec, v, iters=8), 3.14)
+    record("gradient_mvm_composite_n1024_d1024", time_chained(G._matvec, v, iters=(2, 18)), 3.14)
 
 
 def bench_hessian():
@@ -167,7 +164,7 @@ def bench_hessian():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = HessianKernel(EQ()).gramian(x)
     v = jnp.asarray(rng.standard_normal(n * d * d), dtype=jnp.float32)
-    record("hessian_mvm_eq_n128_d16", time_chained(G._matvec, v, iters=8), 0.077)
+    record("hessian_mvm_eq_n128_d16", time_chained(G._matvec, v, iters=(2, 18)), 0.077)
 
 
 def bench_barneshut():
@@ -181,7 +178,7 @@ def bench_barneshut():
     t0 = time.perf_counter()
     F = BarnesHutFactorization(EQ(), x, theta=0.5)
     record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077)
-    dt = time_chained(F._matvec, w, iters=8)
+    dt = time_chained(F._matvec, w, iters=(2, 18))
     b = F @ w
     # spot-check error on 256 rows
     idx = rng.integers(0, n, 256)
@@ -193,10 +190,23 @@ def bench_barneshut():
     err = float(jnp.linalg.norm(b[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.5_n65536", dt, 0.083, f"rel err {err:.2e} (ref 1.2e-2)")
     F2 = BarnesHutFactorization(EQ(), x, theta=0.25)
-    dt = time_chained(F2._matvec, w, iters=8)
+    dt = time_chained(F2._matvec, w, iters=(2, 18))
     b2 = F2 @ w
     err2 = float(jnp.linalg.norm(b2[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.25_n65536", dt, 0.223, f"rel err {err2:.2e} (ref 4.3e-3)")
+
+
+def tile_ell_chained(S, a):
+    """Slope-time the TileELL MVM, passing its integer index arrays as
+    explicit consts (closure_convert leaves int captures baked into the
+    HLO, which overflows the tunnel's compile-request size limit)."""
+    from cfjax.operators.tile_ell import _tile_ell_matvec_impl
+
+    go = tuple(g[2] for g in S.groups)
+    gv = tuple(g[3] for g in S.groups)
+    n = S.shape[0]
+    step = lambda v, *c: _tile_ell_matvec_impl(c[0], c[1], c[2], v, S.nt, True)[:n]
+    return time_chained(step, a, consts=(go, gv, S.perm))
 
 
 def bench_sparse():
@@ -212,7 +222,7 @@ def bench_sparse():
            f"nnz ratio {ratio:.4f} (ref 0.0022)")
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     record("sparse_mvm_eq_n16384_d32",
-           time_chained(lambda v: S @ v, a, iters=4), 0.45e-3)
+           tile_ell_chained(S, a), 0.45e-3)
 
 
 def main():

@@ -168,11 +168,12 @@ def _ell_build(k, xb3, yp, r2, w):
 
 
 def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
-                   format: str = "ell"):
+                   format: str = "tile"):
     """Sparse approximation of gramian(k, x, y): keeps entries within the
     analytic decay radius (reference `SparseArrays.sparse(G, tol)`,
     src/sparse.jl:5-22). Built entirely on device in row blocks; returns
-    (operator, nnz_ratio). format: "ell" (TPU-native, default) or "bcoo"."""
+    (operator, nnz_ratio). format: "tile" (TPU-native TileELL, default),
+    "ell" (plain ELLPACK) or "bcoo"."""
     from ..utils.grids import as_points
 
     tol = DEFAULT.default_tol if tol is None else tol
@@ -210,13 +211,17 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
 
     if format == "ell":
         return EllSparseOperator(cols, vals, m, nnz), ratio
-    # BCOO export (host-side filter of pad slots)
-    from jax.experimental import sparse as jsparse
+    if format == "tile":
+        from .tile_ell import build_tile_ell_device
 
+        return build_tile_ell_device(cols, vals, counts, n, m), ratio
+    # host COO for BCOO export
     cols_np = np.asarray(cols)
     vals_np = np.asarray(vals)
     rows_np = np.broadcast_to(np.arange(n)[:, None], cols_np.shape)
     keep = cols_np < m
+    from jax.experimental import sparse as jsparse
+
     indices = jnp.asarray(
         np.stack([rows_np[keep], cols_np[keep]], axis=1), dtype=jnp.int32
     )
