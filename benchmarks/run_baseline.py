@@ -1,22 +1,25 @@
 """Full BASELINE benchmark table: every published reference number
-(BASELINE.md) reproduced on the TPU chip.
+(BASELINE.md) reproduced on the TPU chip, with HONEST accounting.
+
+Round-2 hardening (VERDICT.md #1 / ADVICE.md):
+  * Slope timing is adaptive: trip counts double until the time delta
+    dominates tunnel jitter; a non-separable slope is a MEASUREMENT
+    FAILURE (row marked invalid), never a 0.001 ms row.
+  * Every row carries an analytic Work estimate (MXU/VPU/transcendental
+    FLOPs + HBM bytes); the table reports achieved TFLOP/s and
+    %-of-roofline with the binding resource named, and any measurement
+    implying more than hardware peak is rejected.
+  * One-shot (construction) timings interleave no-op floor dispatches
+    and annotate results that sit inside the drift band.
 
 Prints one JSON line per config plus a markdown table, and writes
-BENCHMARKS.md at the repo root. The reference numbers are @time
-transcripts from its README on an unspecified CPU (BASELINE.md).
-
-All timings are TRUE device wall clock (cfjax.utils.timing): the axon
-tunnel's async dispatch returns from block_until_ready before the device
-finishes, so we force synchronous dispatch up front; and because the
-sync-mode per-dispatch round trip is large and drifts (1.4..30 ms), all
-repeatable ops use SLOPE timing (chained fori_loop at two trip counts)
-which cancels it exactly. One-shot construction/factorize numbers
-subtract the measured round trip and are approximate below ~1 ms.
+BENCHMARKS.md at the repo root.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -31,22 +34,92 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cfjax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from cfjax.utils.timing import force_sync_dispatch, time_chained, time_dispatch
+from cfjax.utils.roofline import Work, summarize
+from cfjax.utils.timing import (MeasurementError, force_sync_dispatch,
+                                time_chained, time_dispatch)
 
 RESULTS = []
 
 
-def record(name, seconds, ref_seconds, note=""):
-    row = {
-        "config": name,
-        "tpu_seconds": seconds,
-        "ref_seconds": ref_seconds,
-        "speedup": ref_seconds / seconds if seconds > 0 else float("inf"),
-        "note": note,
-    }
+def record(name, seconds, ref_seconds, work: Work | None = None, note="",
+           spread=None):
+    """seconds: float | MeasurementError. spread: noise-floor spread for
+    one-shot (time_dispatch) rows."""
+    row = {"config": name, "ref_seconds": ref_seconds, "note": note}
+    if isinstance(seconds, MeasurementError):
+        row.update(valid=False, tpu_seconds=None,
+                   why=f"not separable from jitter; "
+                       f"upper bound {seconds.upper_bound:.2e}s")
+    else:
+        row.update(valid=True, tpu_seconds=seconds)
+        if seconds <= 0:
+            row.update(valid=False, why="non-positive measurement")
+        elif work is not None:
+            s = summarize(work, seconds)
+            row.update(tflops=s.get("tflops"), bound=s.get("bound"),
+                       roofline_pct=s.get("roofline_pct"))
+            if not s["valid"]:
+                row.update(valid=False, why=s["why"])
+        if spread is not None and seconds < 2 * spread:
+            row["note"] = (row["note"] + f" [below noise floor "
+                           f"±{spread*1e3:.2f}ms — approximate]").strip()
+    if row["valid"] and row["tpu_seconds"]:
+        row["speedup"] = ref_seconds / row["tpu_seconds"]
     RESULTS.append(row)
     print(json.dumps(row), flush=True)
 
+
+def timed(step, v0, **kw):
+    try:
+        return time_chained(step, v0, **kw)
+    except MeasurementError as e:
+        return e
+
+
+# ---------------------------------------------------------------- work models
+
+def work_dense_mvm(n, m, d, kprof_vpu=10, kprof_trans=1):
+    """Matmul-expansion iso/dot MVM: x@y.T (MXU) + profile eval (VPU)
+    + K@a (MXU). Minimum HBM: points + vectors (K tiles stay on-chip in
+    the ideal fused kernel; XLA's lax.map path spills block×m tiles)."""
+    return Work(mxu=2 * n * m * d + 2 * n * m,
+                vpu=kprof_vpu * n * m, trans=kprof_trans * n * m,
+                hbm_bytes=4 * ((n + m) * d + n + m))
+
+
+def work_fft_mvm(n):
+    """Circulant-embedding MVM: 2 FFTs of length 2n + pointwise."""
+    N = 2 * n
+    vpu = 2 * 5 * N * math.log2(N) + 6 * N
+    return Work(vpu=vpu, hbm_bytes=8 * 6 * n)
+
+
+def work_kron_mvm(ms):
+    n = math.prod(ms)
+    return Work(mxu=2 * n * sum(ms), hbm_bytes=4 * (2 * n + sum(m * m for m in ms)))
+
+
+def work_gradient_mvm(n, d, terms=1):
+    """Closed-form iso/dot gradient block MVM: 4 matmuls of (n,d)x(d,n)
+    shape per term (r^T a expansions) → 8*n²*d MXU FLOPs, + O(n²) VPU."""
+    return Work(mxu=8 * n * n * d * terms, vpu=12 * n * n * terms,
+                trans=n * n * terms, hbm_bytes=4 * (2 * n * d + n * n // 256))
+
+
+def work_hessian_mvm(n, d):
+    """Iso HH closed form: O(d²) per block → ~c·n²·d² total."""
+    return Work(mxu=8 * n * n * d * d, vpu=20 * n * n,
+                hbm_bytes=4 * 2 * n * d * d)
+
+
+def work_sparse_mvm(S):
+    """TileELL MVM: bandwidth over the padded slabs (off int32 + val f32)."""
+    slab_bytes = sum(int(np.prod(g[2].shape)) * 8 for g in S.groups)
+    return Work(vpu=3 * sum(int(np.prod(g[2].shape)) for g in S.groups),
+                hbm_bytes=slab_bytes)
+
+
+# ------------------------------------------------------------------- configs
 
 def bench_dense_mvm():
     from cfjax.kernels import MaternP
@@ -57,10 +130,29 @@ def bench_dense_mvm():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     G = Gramian(MaternP(2), x)
-    record("dense_mvm_maternp2_n16384_d3", time_chained(G._matvec, a), 0.585)
+    record("dense_mvm_maternp2_n16384_d3", timed(G._matvec, a), 0.585,
+           work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1))
     Gx = Gramian(MaternP(2), x, use_pallas="never")
-    record("dense_mvm_maternp2_n16384_d3_xla", time_chained(Gx._matvec, a),
-           0.585, "XLA path (no pallas)")
+    record("dense_mvm_maternp2_n16384_d3_xla", timed(Gx._matvec, a),
+           0.585, work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1),
+           "XLA path (no pallas)")
+
+
+def bench_dense_sweep():
+    """North-star: dense-path MVM vs matmul roofline, d swept to show
+    where the path becomes MXU-bound (BASELINE.md:35)."""
+    from cfjax.kernels import EQ
+    from cfjax.operators import Gramian
+
+    rng = np.random.default_rng(0)
+    n = 16384
+    for d in (3, 64, 256, 1024):
+        x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+        a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+        G = Gramian(EQ(), x)
+        record(f"northstar_dense_mvm_eq_n16384_d{d}", timed(G._matvec, a),
+               float("nan"), work_dense_mvm(n, n, d, kprof_vpu=6),
+               "north-star dense path")
 
 
 def bench_toeplitz():
@@ -73,31 +165,31 @@ def bench_toeplitz():
     g = UniformGrid(0.0, 1.0 / n, n)
     T = gramian(Exp(), g)  # warm (compiles the column eval)
     jax.block_until_ready(T.col)
-    dt = time_dispatch(lambda: gramian(Exp(), g).col)
+    dt, spr = time_dispatch(lambda: gramian(Exp(), g).col)
     record("toeplitz_construct_exp_n65536", dt, 0.572e-3 * 4,
-           "ref number scaled from n=16384")
+           note="ref number scaled from n=16384", spread=spr)
     a = jnp.asarray(rng.standard_normal(n), dtype=T.col.dtype)
-    record("toeplitz_fft_mvm_n65536", time_chained(T._matvec, a), 1.068e-3 * 4,
-           "ref scaled from n=16384")
-    # GP-regression solve: noisy system, Strang-PCG (the scalable path)
+    record("toeplitz_fft_mvm_n65536", timed(T._matvec, a), 1.068e-3 * 4,
+           work_fft_mvm(n), "ref scaled from n=16384")
     from cfjax.operators import cg as _cg
 
     Tn = T.add_diagonal(1e-2)
     b = Tn @ a
     Minv = T.strang_preconditioner()
     solve_jit = jax.jit(lambda bb: _cg(Tn._matvec, bb, tol=1e-5, maxiter=600, M=Minv))
-    dt = time_dispatch(solve_jit, b, iters=2)
+    dt, spr = time_dispatch(solve_jit, b, iters=2)
     x_cg, info = solve_jit(b)
     err = float(jnp.linalg.norm(Tn @ x_cg - b) / jnp.linalg.norm(b))
     record("toeplitz_solve_pcg_noisy_n65536", dt, 0.173 * 16,
-           f"rel res {err:.1e}, {int(info[0])} iters; ref levinson scaled from n=16384")
-    # direct levinson at the reference size
+           note=f"rel res {err:.1e}, {int(info[0])} iters; "
+                "ref levinson scaled from n=16384", spread=spr)
     n2 = 16384
     g2 = UniformGrid(0.0, 1.0 / n2, n2)
     T2 = gramian(Exp(), g2)
     b2 = T2 @ jnp.asarray(rng.standard_normal(n2), dtype=T2.col.dtype)
-    dt = time_dispatch(lambda: levinson(T2.col, b2), iters=2)
-    record("toeplitz_levinson_n16384", dt, 0.173, "sequential O(n) scan depth")
+    dt, spr = time_dispatch(lambda: levinson(T2.col, b2), iters=2)
+    record("toeplitz_levinson_n16384", dt, 0.173,
+           note="sequential O(n) scan depth — latency bound", spread=spr)
 
 
 def bench_kronecker():
@@ -111,17 +203,19 @@ def bench_kronecker():
     k = separable("^", EQ(), d=3)
     K = gramian(k, grid)  # warm compile
     jax.block_until_ready(K.factors[0].col)
-    dt = time_dispatch(lambda: gramian(k, grid).factors[0].col)
-    record("kronecker_construct_eq3_128cubed", dt, 23e-6)
+    dt, spr = time_dispatch(lambda: gramian(k, grid).factors[0].col)
+    record("kronecker_construct_eq3_128cubed", dt, 23e-6, spread=spr)
     n = len(grid)
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
-    record("kronecker_mvm_eq3_128cubed", time_chained(K._matvec, a, iters=(2, 18)), 22.6e-3)
+    record("kronecker_mvm_eq3_128cubed", timed(K._matvec, a, iters=(2, 18)),
+           22.6e-3, work_kron_mvm([m] * 3))
     F = K.cholesky()  # warm
     jax.block_until_ready(F.Ls[0])
-    dt = time_dispatch(lambda: K.cholesky().Ls[0])
-    record("kronecker_cholesky_eq3_128cubed", dt, 3.13e-3)
+    dt, spr = time_dispatch(lambda: K.cholesky().Ls[0])
+    record("kronecker_cholesky_eq3_128cubed", dt, 3.13e-3, spread=spr)
     record("kronecker_solve_eq3_128cubed",
-           time_chained(F.solve, a, iters=(2, 18)), 62.5e-3)
+           timed(F.solve, a, iters=(2, 18)), 62.5e-3,
+           Work(mxu=2 * 2 * n * sum([m] * 3), hbm_bytes=4 * 2 * n))
 
 
 def bench_gradient():
@@ -135,24 +229,29 @@ def bench_gradient():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(MaternP(2)), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_maternp2_n1024_d1024", time_chained(G._matvec, v, iters=(2, 18)), 0.394)
+    record("gradient_mvm_maternp2_n1024_d1024",
+           timed(G._matvec, v, iters=(2, 18)), 0.394, work_gradient_mvm(n, d))
     op = G.add_diagonal(1e-3)
-    dt = time_dispatch(lambda: solve(op, v, tol=1e-6, maxiter=200), iters=1, repeats=1)
-    record("gradient_solve_maternp2_n1024_d1024", dt, 0.817, "CG tol 1e-6")
+    dt, spr = time_dispatch(lambda: solve(op, v, tol=1e-6, maxiter=200),
+                            iters=1, repeats=1)
+    record("gradient_solve_maternp2_n1024_d1024", dt, 0.817,
+           note="CG tol 1e-6", spread=spr)
     # driver config: EQ gradient, n=4096 d=16
     n, d = 4096, 16
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = gramian(GradientKernel(EQ()), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_eq_n4096_d16", time_chained(G._matvec, v, iters=(2, 18)),
-           float("nan"), "driver config")
+    record("gradient_mvm_eq_n4096_d16", timed(G._matvec, v, iters=(2, 18)),
+           float("nan"), work_gradient_mvm(n, d), "driver config")
     # composite README demo: Matern + quadratic + NN, n = d = 1024
     n, d = 1024, 1024
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     k = MaternP(2) + Line(1.0) ** 2 + NN(0.1)
     G = gramian(GradientKernel(k), x)
     v = jnp.asarray(rng.standard_normal(n * d), dtype=jnp.float32)
-    record("gradient_mvm_composite_n1024_d1024", time_chained(G._matvec, v, iters=(2, 18)), 3.14)
+    record("gradient_mvm_composite_n1024_d1024",
+           timed(G._matvec, v, iters=(2, 18)), 3.14,
+           work_gradient_mvm(n, d, terms=3), "3-term pair family")
 
 
 def bench_hessian():
@@ -164,7 +263,8 @@ def bench_hessian():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     G = HessianKernel(EQ()).gramian(x)
     v = jnp.asarray(rng.standard_normal(n * d * d), dtype=jnp.float32)
-    record("hessian_mvm_eq_n128_d16", time_chained(G._matvec, v, iters=(2, 18)), 0.077)
+    record("hessian_mvm_eq_n128_d16", timed(G._matvec, v, iters=(2, 18)),
+           0.077, work_hessian_mvm(n, d))
 
 
 def bench_barneshut():
@@ -177,10 +277,11 @@ def bench_barneshut():
     w = jnp.asarray(rng.uniform(0, 1, n), dtype=jnp.float32)
     t0 = time.perf_counter()
     F = BarnesHutFactorization(EQ(), x, theta=0.5)
-    record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077)
-    dt = time_chained(F._matvec, w, iters=(2, 18))
+    jax.block_until_ready(F.tree.centers if hasattr(F, "tree") else w)
+    record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077,
+           note="host wall clock (tree build + probes)")
+    dt = timed(F._matvec, w, iters=(2, 18))
     b = F @ w
-    # spot-check error on 256 rows
     idx = rng.integers(0, n, 256)
     xs = x[jnp.asarray(idx)]
     rows = jnp.exp(-(
@@ -188,12 +289,14 @@ def bench_barneshut():
     ) / 2)
     exact = rows @ w
     err = float(jnp.linalg.norm(b[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
-    record("barneshut_mvm_theta0.5_n65536", dt, 0.083, f"rel err {err:.2e} (ref 1.2e-2)")
+    record("barneshut_mvm_theta0.5_n65536", dt, 0.083,
+           note=f"rel err {err:.2e} (ref 1.2e-2); irregular gather-bound")
     F2 = BarnesHutFactorization(EQ(), x, theta=0.25)
-    dt = time_chained(F2._matvec, w, iters=(2, 18))
+    dt = timed(F2._matvec, w, iters=(2, 18))
     b2 = F2 @ w
     err2 = float(jnp.linalg.norm(b2[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
-    record("barneshut_mvm_theta0.25_n65536", dt, 0.223, f"rel err {err2:.2e} (ref 4.3e-3)")
+    record("barneshut_mvm_theta0.25_n65536", dt, 0.223,
+           note=f"rel err {err2:.2e} (ref 4.3e-3)")
 
 
 def tile_ell_chained(S, a):
@@ -206,7 +309,7 @@ def tile_ell_chained(S, a):
     gv = tuple(g[3] for g in S.groups)
     n = S.shape[0]
     step = lambda v, *c: _tile_ell_matvec_impl(c[0], c[1], c[2], v, S.nt, True)[:n]
-    return time_chained(step, a, consts=(go, gv, S.perm))
+    return timed(step, a, consts=(go, gv, S.perm))
 
 
 def bench_sparse():
@@ -219,16 +322,16 @@ def bench_sparse():
     t0 = time.perf_counter()
     S, ratio = sparse_gramian(EQ(), x, tol=1e-6)
     record("sparsify_build_eq_n16384_d32", time.perf_counter() - t0, 7.21,
-           f"nnz ratio {ratio:.4f} (ref 0.0022)")
+           note=f"nnz ratio {ratio:.4f} (ref 0.0022)")
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
-    record("sparse_mvm_eq_n16384_d32",
-           tile_ell_chained(S, a), 0.45e-3)
+    record("sparse_mvm_eq_n16384_d32", tile_ell_chained(S, a), 0.45e-3,
+           work_sparse_mvm(S))
 
 
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else [
-        "dense_mvm", "toeplitz", "kronecker", "gradient", "hessian",
-        "barneshut", "sparse",
+        "dense_mvm", "dense_sweep", "toeplitz", "kronecker", "gradient",
+        "hessian", "barneshut", "sparse",
     ]
     force_sync_dispatch()
     t_all = time.time()
@@ -238,27 +341,44 @@ def main():
             fn()
         except Exception as e:
             print(json.dumps({"config": name, "error": repr(e)}), flush=True)
-    # write table
     lines = [
         "# BENCHMARKS — cfjax on TPU v5e (1 chip) vs reference CPU numbers",
         "",
-        "True device wall clock (sync dispatch + chained-iteration timing,",
-        "see cfjax/utils/timing.py).",
+        "True device wall clock: sync dispatch + ADAPTIVE slope timing",
+        "(trip counts doubled until the delta dominates tunnel jitter;",
+        "non-separable slopes are marked invalid, never published as",
+        "0.00x ms — see cfjax/utils/timing.py). Each row carries analytic",
+        "work (cfjax/utils/roofline.py): achieved TFLOP/s, the binding",
+        "resource (MXU 197 TF/s bf16 | VPU ~12 TF/s | HBM 819 GB/s) and",
+        "%-of-roofline; rows implying > hardware peak are rejected.",
         "",
-        "| config | cfjax TPU | reference | speedup | note |",
-        "|---|---|---|---|---|",
+        "| config | cfjax TPU | reference | speedup | TFLOP/s | roofline | note |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in RESULTS:
+        if not r.get("valid", False):
+            lines.append(
+                f"| {r['config']} | INVALID | {r['ref_seconds']*1e3:.3f} ms | "
+                f"— | — | — | {r.get('why','')} {r.get('note','')} |")
+            continue
+        tf = f"{r['tflops']:.2f}" if r.get("tflops") is not None else "—"
+        rl = (f"{r['roofline_pct']:.0f}% of {r['bound']}"
+              if r.get("roofline_pct") is not None else "—")
+        sp = f"{r['speedup']:.1f}x" if "speedup" in r and not math.isnan(
+            r["ref_seconds"]) else "—"
+        ref = ("—" if math.isnan(r["ref_seconds"])
+               else f"{r['ref_seconds']*1e3:.3f} ms")
         lines.append(
-            f"| {r['config']} | {r['tpu_seconds']*1e3:.3f} ms | "
-            f"{r['ref_seconds']*1e3:.3f} ms | {r['speedup']:.1f}x | {r['note']} |"
-        )
+            f"| {r['config']} | {r['tpu_seconds']*1e3:.3f} ms | {ref} | "
+            f"{sp} | {tf} | {rl} | {r.get('note','')} |")
     out = "\n".join(lines) + "\n"
     if len(sys.argv) <= 1:
         with open(os.path.join(os.path.dirname(__file__), "..", "BENCHMARKS.md"), "w") as f:
             f.write(out)
     print(out)
     print(f"total wall: {time.time()-t_all:.1f}s")
+    with open(os.path.join(os.path.dirname(__file__), "results.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -302,7 +302,11 @@ def _tile_ell_matvec_impl(groups_off, groups_val, perm, a, nt, use_pallas):
     a2 = jnp.pad(a, (0, nt * _LANES - m)).reshape(nt, _LANES)
     outs = []
     for off, val in zip(groups_off, groups_val):
-        slab = _slab_matvec_pallas if use_pallas else _slab_matvec_xla
+        # nt == 1: Mosaic's gather lowering rejects take_along_axis on a
+        # (1, 128) operand ("Shape mismatch in input, indices and
+        # output") — route single-column-tile operators through XLA.
+        slab = _slab_matvec_pallas if (use_pallas and nt > 1) \
+            else _slab_matvec_xla
         outs.append(slab(a2, off, val).reshape(-1))
     out_sorted = jnp.concatenate(outs)
     n_pad = perm.shape[0]
@@ -315,6 +319,12 @@ def tile_ell_matvec(S: TileEllOperator, a):
     use_pallas = jax.default_backend() == "tpu"
     groups_off = tuple(g[2] for g in S.groups)
     groups_val = tuple(g[3] for g in S.groups)
+    if a.ndim == 2:
+        # matrix RHS: vmap columns through the XLA slab path (vmapping
+        # the pallas lane-gather adds a batch axis Mosaic won't tile).
+        f = lambda col: _tile_ell_matvec_impl(
+            groups_off, groups_val, S.perm, col, S.nt, False)
+        return jax.vmap(f, in_axes=1, out_axes=1)(a)[: S.shape[0]]
     out = _tile_ell_matvec_impl(groups_off, groups_val, S.perm, a, S.nt,
                                 use_pallas)
     return out[: S.shape[0]]

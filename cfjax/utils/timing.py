@@ -54,11 +54,42 @@ def dispatch_overhead(iters: int = 20) -> float:
     return statistics.median(ts)
 
 
+class MeasurementError(RuntimeError):
+    """Raised when slope timing cannot separate the op's cost from the
+    tunnel's per-dispatch jitter within the time budget. Carries an
+    upper bound on the per-iteration cost in `.upper_bound` (seconds)."""
+
+    def __init__(self, msg, upper_bound=None):
+        super().__init__(msg)
+        self.upper_bound = upper_bound
+
+
+def _spread(ts):
+    """Robust spread estimate of a sample list: interquartile-ish range
+    (for <=5 samples: max-min excluding the single worst outlier)."""
+    s = sorted(ts)
+    if len(s) >= 7:
+        q = len(s) // 4
+        return s[-1 - q] - s[q]
+    if len(s) >= 3:
+        return s[-2] - s[0]
+    return s[-1] - s[0]
+
+
 def time_chained(step, v0, iters=(4, 36), normalize: bool = True,
-                 repeats: int = 5, consts=None) -> float:
+                 repeats: int = 5, consts=None, delta_ratio: float = 8.0,
+                 time_budget: float = 20.0) -> float:
     """True seconds per application of `step` (v -> same-shape v) via
     slope timing: one executable with a dynamic trip count, timed at two
     trip counts; the difference cancels the per-dispatch round trip.
+
+    ADAPTIVE + SELF-CHECKING (round-2 fix, ADVICE.md): the trip-count
+    delta is doubled until the measured time difference exceeds
+    `delta_ratio`x the robust spread (jitter) of the samples, so a
+    result is only returned when the op's cost dominates tunnel noise.
+    A slope that never escapes the noise raises MeasurementError (with
+    an upper bound) instead of silently clamping to 0 — the round-1
+    harness published 0.001 ms for an 8.6-GFLOP MVM that way.
 
     `normalize` rescales between iterations (one cheap reduction) so
     repeated operator application can't over/underflow.
@@ -84,32 +115,64 @@ def time_chained(step, v0, iters=(4, 36), normalize: bool = True,
 
         return lax.fori_loop(0, n, body, v)
 
+    def sample(n, reps):
+        nj = jnp.int32(n)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(nj, v0, consts))
+            ts.append(time.perf_counter() - t0)
+        return ts
+
     lo, hi = iters
-    lo_j, hi_j = jnp.int32(lo), jnp.int32(hi)
-    jax.block_until_ready(run(hi_j, v0, consts))  # compile + warm
-    ts_lo, ts_hi = [], []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(lo_j, v0, consts))
-        ts_lo.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(hi_j, v0, consts))
-        ts_hi.append(time.perf_counter() - t0)
-    return max(statistics.median(ts_hi) - statistics.median(ts_lo), 0.0) \
-        / (hi - lo)
+    jax.block_until_ready(run(jnp.int32(hi), v0, consts))  # compile + warm
+    t_start = time.perf_counter()
+    while True:
+        ts_lo, ts_hi = [], []
+        for _ in range(repeats):  # interleave lo/hi to ride jitter drift
+            ts_lo += sample(lo, 1)
+            ts_hi += sample(hi, 1)
+        delta = statistics.median(ts_hi) - statistics.median(ts_lo)
+        jitter = max(_spread(ts_lo), _spread(ts_hi), 100e-6)
+        if delta > delta_ratio * jitter:
+            return delta / (hi - lo)
+        elapsed = time.perf_counter() - t_start
+        budget_left = time_budget - elapsed
+        # next round costs ~repeats * T(2*hi) ≈ 2 * repeats * median(ts_hi)
+        if 2 * repeats * statistics.median(ts_hi) > budget_left:
+            ub = max(delta, delta_ratio * jitter) / (hi - lo)
+            raise MeasurementError(
+                f"slope {max(delta, 0.0) / (hi - lo):.3e}s/iter not separable "
+                f"from jitter {jitter * 1e3:.2f}ms at hi={hi} "
+                f"(upper bound {ub:.3e}s)", upper_bound=ub)
+        hi *= 2
 
 
-def time_dispatch(fn, *args, iters: int = 5, repeats: int = 2) -> float:
+def time_dispatch(fn, *args, iters: int = 5, repeats: int = 2):
     """Median true seconds per call for ops that can't be chained
-    (construction, factorization pipelines with host logic). The
-    time-varying tunnel round trip is measured right before and
-    subtracted; treat results as approximate above ~1 ms."""
+    (construction, factorization pipelines with host logic).
+
+    The tunnel round trip drifts within a session (1.4..30 ms), so a
+    no-op floor dispatch is INTERLEAVED with every timed sample and
+    subtracted pairwise (ADVICE.md round-1 fix). Returns
+    (seconds, noise_floor_spread): any result below the spread is
+    dominated by drift, not the op — callers must annotate/reject it."""
     force_sync_dispatch()
-    floor = dispatch_overhead(8)
+    noop = jax.jit(lambda v: v + 1.0)
+    vz = jnp.zeros(8)
+    jax.block_until_ready(noop(vz))
     jax.block_until_ready(fn(*args))
-    ts = []
+    ts, floors = [], []
     for _ in range(max(iters, repeats)):
         t0 = time.perf_counter()
+        jax.block_until_ready(noop(vz))
+        f0 = time.perf_counter() - t0
+        t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return max(statistics.median(ts) - floor, 0.0)
+        t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(noop(vz))
+        f1 = time.perf_counter() - t0
+        ts.append(t - 0.5 * (f0 + f1))
+        floors += [f0, f1]
+    return max(statistics.median(ts), 0.0), _spread(floors)

@@ -90,3 +90,36 @@ def test_sparse_gramian(rng):
     approx = np.asarray(S @ jnp.asarray(a))
     err = np.linalg.norm(approx - K @ a) / np.linalg.norm(K @ a)
     assert err < 1e-6, err
+
+
+def test_tile_ell_small_m(rng):
+    """m <= 128 => single column tile (nt == 1): must route through the
+    XLA slab even when the pallas path is requested (Mosaic rejects the
+    (1, 128) lane-gather — ADVICE.md round 1)."""
+    from cfjax.operators.tile_ell import _tile_ell_matvec_impl
+
+    n, m, d = 200, 100, 3
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.standard_normal((m, d)))
+    k = Lengthscale(EQ(), 0.8)
+    S, _ = sparse_gramian(k, x, y, tol=1e-4, block=128, format="tile")
+    assert S.nt == 1
+    a = jnp.asarray(rng.standard_normal(m))
+    go = tuple(g[2] for g in S.groups)
+    gv = tuple(g[3] for g in S.groups)
+    out = _tile_ell_matvec_impl(go, gv, S.perm, a, S.nt, True)[:n]
+    expect = np.asarray(S.todense()) @ np.asarray(a)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-7)
+
+
+def test_tile_ell_matrix_rhs(rng):
+    """TileELL matvec accepts (m, r) matrix RHS (ADVICE.md round 1)."""
+    n, d = 300, 3
+    x = jnp.asarray(rng.standard_normal((n, d)) * 2)
+    k = Lengthscale(EQ(), 0.5)
+    S, _ = sparse_gramian(k, x, tol=1e-6, block=128, format="tile")
+    A = jnp.asarray(rng.standard_normal((n, 4)))
+    out = S @ A
+    expect = np.asarray(S.todense()) @ np.asarray(A)
+    assert out.shape == (n, 4)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)

@@ -79,3 +79,38 @@ def test_explain_and_matrixkernel(rng):
     k = MatrixKernel(jnp.asarray(A), (6, 6))
     G = gramian(k, np.asarray([0, 2, 4]), np.asarray([1, 3]))
     np.testing.assert_allclose(np.asarray(G.todense()), A[[0, 2, 4]][:, [1, 3]])
+
+
+def test_slope_timing_rejects_noise():
+    """A slope that cannot dominate jitter raises MeasurementError with
+    an upper bound instead of clamping to 0 (ADVICE.md round 1)."""
+    import pytest
+
+    from cfjax.utils.timing import MeasurementError, time_chained
+
+    step = lambda v: v + 1.0
+    v0 = jnp.zeros(8)
+    with pytest.raises(MeasurementError) as ei:
+        # delta_ratio impossible to satisfy -> must fail, never return 0
+        time_chained(step, v0, repeats=2, delta_ratio=1e12, time_budget=0.5)
+    assert ei.value.upper_bound is not None and ei.value.upper_bound > 0
+
+
+def test_slope_timing_measures_real_op():
+    from cfjax.utils.timing import time_chained
+
+    A = jnp.asarray(np.random.default_rng(0).standard_normal((256, 256)),
+                    dtype=jnp.float32)
+    dt = time_chained(lambda v: A @ v, jnp.ones(256), repeats=3,
+                      time_budget=30.0)
+    assert dt > 0
+
+
+def test_roofline_accounting():
+    from cfjax.utils.roofline import Work, summarize
+
+    w = Work(mxu=8.6e9, vpu=1e7, hbm_bytes=1e7)
+    ok = summarize(w, 1e-3)       # ~8.6 TFLOP/s: plausible
+    assert ok["valid"] and ok["bound"] == "MXU"
+    bad = summarize(w, 1e-6)      # implies 8600 TFLOP/s: impossible
+    assert not bad["valid"]
