@@ -29,6 +29,45 @@ from ..operators.gramian import gramian_matvec, mvm_mode
 from ..operators.linop import LinearOperator
 
 
+def init_distributed(coordinator_address: str = None, num_processes: int = None,
+                     process_id: int = None, mesh_shape: tuple = None,
+                     axis_names: tuple = ("rows", "cols")):
+    """Multi-host bring-up: wire `jax.distributed.initialize` and build a
+    global 2-D mesh over every chip in the slice (SURVEY.md §5's DCN
+    story — collectives ride ICI within a host and DCN across hosts;
+    XLA owns the transport, there is no NCCL/MPI analogue to configure).
+
+    In a single-process run (or under a TPU/GKE launcher that sets the
+    cluster env vars) all arguments may be omitted: `initialize()` is
+    auto-detecting, and is skipped entirely when there is nothing to
+    coordinate (one process, no coordinator given). Returns the global
+    Mesh; shard with `jax.sharding.NamedSharding(mesh, P(...))` or the
+    Sharded* operators in this package exactly as on one host —
+    `jax.make_array_from_process_local_data` builds the global arrays.
+    """
+    multiprocess = coordinator_address is not None or (
+        num_processes is not None and num_processes > 1
+    )
+    if multiprocess and jax.process_count() == 1:
+        kw = {}
+        if coordinator_address is not None:
+            kw["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kw["num_processes"] = num_processes
+        if process_id is not None:
+            kw["process_id"] = process_id
+        jax.distributed.initialize(**kw)
+    devs = jax.devices()  # global device list, all hosts
+    if mesh_shape is None:
+        nd = len(devs)
+        rows = int(np.gcd(nd, max(1, jax.process_count())))
+        if rows == 1 and nd % 2 == 0 and nd > 1:
+            rows = 2
+        mesh_shape = (rows, nd // rows)
+    axis_names = tuple(axis_names)[: len(mesh_shape)]
+    return Mesh(np.array(devs).reshape(mesh_shape), axis_names)
+
+
 def default_mesh(n_devices: int = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
