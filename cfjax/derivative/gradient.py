@@ -241,7 +241,9 @@ class GradientGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _apply(self, A):
         kws = {} if self.block is None else dict(block=self.block)
@@ -316,6 +318,17 @@ class GradientKernel(MultiKernel):
             return JacobianConjugatedGradientGramian(
                 k.k, lambda z: U @ z, x, y, **opts
             )
+        # f(x) h f(y): one value+gradient MVM of h (rank-2 Woodbury
+        # analogue, src/gradient_algebra.jl:177-202)
+        from ..kernels.transforms import Chained, VerticalRescaling
+
+        if isinstance(k, VerticalRescaling):
+            return VerticalRescalingGradientGramian(k.k, k.f, x, y, **opts)
+        # Chained of a trait-less kernel: diag(f') H + rank-1 f''
+        # correction (src/gradient_algebra.jl:207-227); trait-carrying
+        # Chained stays on the composed-profile fast paths
+        if isinstance(k, Chained) and _grad_mode(k) == "generic":
+            return ChainedGradientGramian(k, x, y, **opts)
         if isinstance(k, Constant):
             from ..utils.grids import as_points
 
@@ -389,7 +402,9 @@ class ValueGradientGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _matvec(self, v):
         D = self.d + 1
@@ -449,7 +464,9 @@ class JacobianConjugatedGradientGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.inner.k, "is_mercer", False)
 
     def _matvec(self, v):
         m = self.shape[1] // self.d
@@ -458,6 +475,118 @@ class JacobianConjugatedGradientGramian(LinearOperator):
         B_up = self.inner._apply(A_up)
         B = jnp.einsum("noi,no->ni", self.Jx, B_up)  # J_x^T b_i
         return B.reshape(-1)
+
+
+class VerticalRescalingGradientGramian(LinearOperator):
+    """Gradient gramian of k(x,y) = f(x) h(x,y) f(y) (reference
+    src/gradient_algebra.jl:177-202: per-block Woodbury rank-2 correction
+    of D_f H D_f). TPU-native whole-gramian form — the MVM collapses to
+    ONE value+gradient block MVM of the inner kernel h:
+
+        Block_ij = grad f_i (f_j grad_y h + h grad f_j)^T
+                 + f_i (H_ij f_j + grad_x h grad f_j^T)
+        out_i    = grad f(x_i) * vg0_i + f(x_i) * vg1_i,
+        (vg0, vg1) = ValueGradient(h) @ [c_j, f(y_j) a_j],
+        c_j = <grad f(y_j), a_j>
+
+    so every trait fast path of h (iso/dot/pair/generic) is reused, and
+    the rank-2 structure costs nothing extra — it rides the value/cross
+    rows of the (1+d)-block MVM."""
+
+    def __init__(self, h, f, x, y=None, block=None):
+        from ..utils.grids import as_points
+
+        self.f = f
+        xp = as_points(x)
+        yp = xp if y is None else as_points(y)
+        self._same = y is None
+        self.d = xp.shape[1]
+        self.fx = jax.vmap(f)(xp)
+        self.gfx = jax.vmap(jax.grad(f))(xp)
+        self.fy = self.fx if y is None else jax.vmap(f)(yp)
+        self.gfy = self.gfx if y is None else jax.vmap(jax.grad(f))(yp)
+        self.inner = ValueGradientGramian(h, xp, yp, block=block)
+        self.shape = (xp.shape[0] * self.d, yp.shape[0] * self.d)
+        self.dtype = self.inner.dtype
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same and getattr(self.inner.k, "is_mercer", False)
+
+    def _matvec(self, v):
+        m = self.shape[1] // self.d
+        A = v.reshape(m, self.d)
+        c = jnp.sum(self.gfy * A, axis=1)                  # <grad f(y_j), a_j>
+        Vin = jnp.concatenate([c[:, None], self.fy[:, None] * A], axis=1)
+        vg = (self.inner @ Vin.reshape(-1)).reshape(-1, self.d + 1)
+        out = self.gfx * vg[:, :1] + self.fx[:, None] * vg[:, 1:]
+        return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def chained_grad_matvec(k, x, y, A, block=32):
+    """Gradient-block MVM of f(h(x,y)) for generic h (reference
+    src/gradient_algebra.jl:207-227: diag(f') H + rank-1 f'' correction).
+    Per pair: f'(h) (H_ij a_j) + f''(h) <grad_y h, a_j> grad_x h, with
+    H_ij a_j via forward-over-reverse on h alone — O(n^2 d) total, and f
+    is differentiated only as a scalar."""
+    from ..utils.linalg import nth_derivatives
+
+    f, h = k.f, k.k
+
+    def pair(xi, yj, aj):
+        gx_fn = lambda y_: jax.grad(lambda x_: h(x_, y_))(xi)
+        gx = gx_fn(yj)
+        hv, Ha = jax.jvp(lambda y_: h(xi, y_), (yj,), (aj,))
+        _, blk_a = jax.jvp(gx_fn, (yj,), (aj,))   # H_ij a_j
+        gy_dot_a = Ha
+        _, f1, f2 = nth_derivatives(f, hv, 2)
+        return f1 * blk_a + f2 * gy_dot_a * gx
+
+    def body(xb):
+        def one_row(xi):
+            contribs = jax.vmap(lambda yj, aj: pair(xi, yj, aj))(y, A)
+            return jnp.sum(contribs, axis=0)
+
+        return jax.vmap(one_row)(xb)
+
+    out = lax.map(body, _pad_rows(x, block))
+    return out.reshape(-1, x.shape[1])[: x.shape[0]]
+
+
+class ChainedGradientGramian(LinearOperator):
+    """Gradient gramian of Chained(f, h) with generic-trait h
+    (src/gradient_algebra.jl:207-227). Trait-carrying h never lands here —
+    Chained preserves iso/dot/pair traits via profile composition."""
+
+    def __init__(self, k, x, y=None, block=None):
+        from ..utils.grids import as_points
+
+        self.k = k
+        self.x = as_points(x)
+        self.y = self.x if y is None else as_points(y)
+        self._same = y is None
+        self.d = self.x.shape[1]
+        self.shape = (self.x.shape[0] * self.d, self.y.shape[0] * self.d)
+        self.dtype = jnp.result_type(self.x.dtype, float)
+        self.block = block
+
+    @property
+    def is_symmetric(self):
+        return self._same
+
+    @property
+    def is_psd(self):
+        return self._same and getattr(self.k, "is_mercer", False)
+
+    def _matvec(self, v):
+        A = v.reshape(self.y.shape[0], self.d)
+        kws = {} if self.block is None else dict(block=self.block)
+        return chained_grad_matvec(self.k, self.x, self.y, A, **kws).reshape(-1)
 
 
 class DerivativeKernel:
@@ -516,7 +645,9 @@ class SeparableGradientGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _matvec(self, v):
         from .separable_grad import (

@@ -272,7 +272,9 @@ class HessianGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _matvec(self, v):
         d = self.d
@@ -333,7 +335,9 @@ class ValueGradientHessianGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _matvec(self, v):
         d, D = self.d, self.D

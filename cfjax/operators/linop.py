@@ -366,6 +366,9 @@ class LowRankOperator(LinearOperator):
     def _matvec(self, v):
         return self.U @ (self.V @ v)
 
+    def _rmatvec(self, v):
+        return self.V.T @ (self.U.T @ v)
+
     def _matmat(self, Vm):
         return self.U @ (self.V @ Vm)
 

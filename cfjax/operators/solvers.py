@@ -180,7 +180,9 @@ def cached_jit(op, key, make_fn):
 
 def solve(op, b, tol: float = None, maxiter: int = None, method: str = "auto"):
     """A \\ b for any operator: Cholesky (small symmetric), CG (PSD),
-    MINRES (symmetric indefinite)."""
+    MINRES (symmetric indefinite), CGNR normal equations (non-symmetric /
+    rectangular least squares — reference solves any LazyFactorization,
+    src/lazy_linear_algebra.jl:135-144)."""
     if isinstance(op, CholeskyFactorization):
         return op.solve(b)
     b = jnp.asarray(b)
@@ -192,16 +194,30 @@ def solve(op, b, tol: float = None, maxiter: int = None, method: str = "auto"):
         elif op.is_symmetric:
             method = "minres"
         else:
-            raise ValueError("solve of non-symmetric lazy operator not supported")
+            method = "cgnr"
     if method == "cholesky":
         return CholeskyFactorization(op).solve(b)
     mv = op._matvec
-    it = cg if method == "cg" else minres
-    f = cached_jit(
-        op,
-        (method, tol, maxiter),
-        lambda: (lambda bb: it(mv, bb, tol=tol, maxiter=maxiter)[0]),
-    )
+    if method == "cgnr":
+        # normal equations AT A x = AT b, solved by CG: the least-squares
+        # solution for rectangular / non-symmetric operators
+        rmv = op._rmatvec
+
+        def make():
+            def f(bb):
+                x, _ = cg(lambda v: rmv(mv(v)), rmv(bb), tol=tol, maxiter=maxiter)
+                return x
+
+            return f
+
+        f = cached_jit(op, ("cgnr", tol, maxiter), make)
+    else:
+        it = cg if method == "cg" else minres
+        f = cached_jit(
+            op,
+            (method, tol, maxiter),
+            lambda: (lambda bb: it(mv, bb, tol=tol, maxiter=maxiter)[0]),
+        )
     if b.ndim == 1:
         return f(b)
     return jax.vmap(f, in_axes=1, out_axes=1)(b)

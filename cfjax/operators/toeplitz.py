@@ -130,7 +130,26 @@ class ToeplitzOperator(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._sym
+        # symmetry alone does NOT imply PSD (a Cosine-kernel Toeplitz is
+        # indefinite). Sufficient check: if the 2n-2 circulant embedding's
+        # symbol is nonnegative, the Toeplitz (a principal submatrix) is
+        # PSD. A false negative only routes solve() to MINRES, which is
+        # correct for any symmetric system.
+        if not self._sym:
+            return False
+        c = jnp.concatenate([self.col, jnp.flip(self.col[1:-1])])
+        lam = jnp.real(jnp.fft.fft(c))
+        tol = 1e-10 * jnp.max(jnp.abs(lam))
+        if bool(jnp.all(lam >= -tol)):
+            return True
+        # embedding-indefinite does not decide the Toeplitz itself; for
+        # modest n settle it exactly (one-time Python-level cost at solve
+        # planning), else stay conservative (MINRES handles PSD fine too)
+        n = self.shape[0]
+        if n <= 2048:
+            ev = jnp.linalg.eigvalsh(self.todense())
+            return bool(ev[0] >= -1e-10 * jnp.maximum(jnp.abs(ev[-1]), 1.0))
+        return False
 
     def _matvec(self, v):
         return toeplitz_matvec(self.col, self.row, v)

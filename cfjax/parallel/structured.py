@@ -150,7 +150,9 @@ class _ShardedBlockGramian(LinearOperator):
 
     @property
     def is_psd(self):
-        return self._same
+        # PSD holds for the derivative gramian of a genuine Mercer kernel
+        # (cov of derivatives); don't claim it from symmetry alone
+        return self._same and getattr(self.k, "is_mercer", False)
 
     def _sharded(self, fn, vec_args):
         return sharded_block_apply(fn, self.k, self.x, self.y, vec_args,

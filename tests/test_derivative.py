@@ -304,3 +304,61 @@ def test_gradient_separable_kernels(rng):
         np.testing.assert_allclose(
             np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7, atol=1e-9
         )
+
+
+def test_gradient_vertical_rescaling_matches_oracle(rng):
+    # f(x) h f(y): fast path = ONE value+gradient MVM of h
+    # (reference rank-2 Woodbury, src/gradient_algebra.jl:177-202)
+    from cfjax.kernels.transforms import VerticalRescaling
+    from cfjax.derivative.gradient import VerticalRescalingGradientGramian
+
+    n, m, d = 8, 6, 3
+    x, y = rand_pts(rng, n, d), rand_pts(rng, m, d)
+    f = lambda z: 1.0 + 0.3 * jnp.sum(jnp.tanh(z))
+    k = VerticalRescaling(MaternP(2), f)
+    G = GradientKernel(k).gramian(x, y)
+    assert isinstance(G, VerticalRescalingGradientGramian)
+    Kd = dense_gradient_oracle(k, x, y)
+    v = rng.standard_normal(m * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+    # symmetric case + normalize() constructor
+    from cfjax.kernels.transforms import normalize
+
+    kn = normalize(RQ(1.5) + 0.2)
+    Gs = GradientKernel(kn).gramian(x)
+    Kds = dense_gradient_oracle(kn, x, x)
+    vs = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(Gs @ jnp.asarray(vs)), Kds @ vs, rtol=1e-7)
+
+
+def test_gradient_chained_generic_matches_oracle(rng):
+    # Chained f(h) with a trait-less h: diag(f') H + rank-1 f'' path
+    # (src/gradient_algebra.jl:207-227)
+    from cfjax.kernels.transforms import Chained, Warped
+    from cfjax.derivative.gradient import ChainedGradientGramian, _grad_mode
+
+    n, d = 8, 3
+    x = rand_pts(rng, n, d)
+    h = Warped(EQ(), lambda z: jnp.tanh(z) + 0.1 * z)  # generic trait
+    k = Chained(f=lambda s: jnp.exp(s) - 0.5 * s, k=h)
+    assert _grad_mode(k) == "generic"
+    G = GradientKernel(k).gramian(x)
+    assert isinstance(G, ChainedGradientGramian)
+    Kd = dense_gradient_oracle(k, x, x)
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_gradient_chained_iso_stays_fast(rng):
+    # Chained of an isotropic kernel composes profiles -> iso fast path
+    from cfjax.kernels.transforms import Chained
+    from cfjax.derivative.gradient import GradientGramian
+
+    n, d = 8, 3
+    x = rand_pts(rng, n, d)
+    k = Chained(f=lambda s: s**2 + s, k=EQ())
+    G = GradientKernel(k).gramian(x)
+    assert isinstance(G, GradientGramian) and G.mode == "iso"
+    Kd = dense_gradient_oracle(k, x, x)
+    v = rng.standard_normal(n * d)
+    np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
