@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT
+from .linop import LinearOperator
 from ..kernels.algebra import Power, Product, Sum
 from ..kernels.base import InputTrait, input_trait
 from ..kernels.stationary import (
@@ -167,13 +168,277 @@ def _ell_build(k, xb3, yp, r2, w):
     return jax.lax.map(one, xb3)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _tree_counts(xg3, ygath3, vmask3, ycolvalid3, r2, chunk=8):
+    """Per-row neighbor counts over candidate tiles.
+    xg3: (G, lsx, d); ygath3: (G, C, d) candidate source points;
+    vmask3/ycolvalid3: (G, C) bool — candidate-leaf valid x column valid."""
+
+    def one(args):
+        xg, yg, ok = args
+        D = jnp.maximum(
+            jnp.sum(xg * xg, 1)[:, None]
+            + jnp.sum(yg * yg, 1)[None, :]
+            - 2 * (xg @ yg.T),
+            0.0,
+        )
+        return jnp.sum((D <= r2) & ok[None, :], axis=1)
+
+    return jax.lax.map(one, (xg3, ygath3, vmask3 & ycolvalid3),
+                       batch_size=chunk)
+
+
+@partial(jax.jit, static_argnames=("w", "chunk"))
+def _tree_build(k, xg3, ygath3, gcols3, okmask3, r2, w, chunk=8):
+    """Pass 2: per-row (col, val) ELL rows of width w, columns in ORIGINAL
+    y numbering (gcols3: (G, C) int32 global column of each candidate
+    slot, m at invalid slots)."""
+    m_sentinel = jnp.iinfo(jnp.int32).max
+
+    def one(args):
+        xg, yg, gc, ok = args
+        D = jnp.maximum(
+            jnp.sum(xg * xg, 1)[:, None]
+            + jnp.sum(yg * yg, 1)[None, :]
+            - 2 * (xg @ yg.T),
+            0.0,
+        )
+        mask = (D <= r2) & ok[None, :]
+        vals_full = jnp.where(mask, k.profile(D), 0.0)
+
+        def row(mask_row, vals_row):
+            (idx,) = jnp.nonzero(mask_row, size=w, fill_value=-1)
+            valid = idx >= 0
+            safe = jnp.maximum(idx, 0)
+            v = jnp.where(valid, vals_row[safe], 0.0)
+            c = jnp.where(valid, gc[safe], m_sentinel)
+            return c, v
+
+        return jax.vmap(row)(mask, vals_full)
+
+    return jax.lax.map(one, (xg3, ygath3, gcols3, okmask3), batch_size=chunk)
+
+
+class TreeSparseOperator(LinearOperator):
+    """Lazy radius-sparsified gramian in leaf-tile block-sparse form.
+
+    The ball-tree range search (reference src/sparse.jl:5-22) yields, for
+    every x-leaf, its candidate y-leaves; instead of materializing an
+    (n, width) ELL array (whose device->host transfer dominates build time
+    at n >= 10^5 on a remote-tunnel TPU), this operator keeps only the
+    candidate slot indices on device and RECOMPUTES kernel tiles inside
+    every MVM — the same lazy philosophy as the dense Gramian, with the
+    distance tiles riding the MXU. Memory: O(n * avg_candidates) int32."""
+
+    def __init__(self, k, r2, tree_pts_x3, ptsy, dsts, slots, masks,
+                 n, m, perm_y, nnz):
+        self.k = k
+        self.r2 = r2
+        self._x3 = tree_pts_x3      # list[(G, lsx, d)]
+        self._ptsy = ptsy           # (Py, d) permuted padded sources
+        self._dsts = dsts           # list[(G*lsx,)] target rows (n = pad dump)
+        self._slots = slots         # list[(G, C)] indices into permuted y
+        self._masks = masks         # list[(G, C)] valid-slot masks
+        self._perm_y = perm_y       # (Py,) permuted slot -> original col
+        self.shape = (n, m)
+        self.nnz = nnz
+        self.dtype = jnp.result_type(ptsy.dtype, float)
+
+    @property
+    def is_symmetric(self):
+        return False  # row/col leaf structure differs even for x === y
+
+    def _matvec(self, a):
+        n, m = self.shape
+        Py = self._ptsy.shape[0]
+        ap = jnp.concatenate([a, jnp.zeros((Py - m,) if Py > m else (0,),
+                                           dtype=a.dtype)])
+        w = ap[self._perm_y]
+        out = jnp.zeros((n + 1,), dtype=self.dtype)
+        for xg, dst, slot, ok in zip(self._x3, self._dsts, self._slots,
+                                     self._masks):
+            og = _tree_tile_contract(self.k, self.r2, xg, self._ptsy,
+                                     slot, ok, w)
+            out = out.at[dst].add(og)
+        return out[:n]
+
+    def todense(self):
+        n, m = self.shape
+        I = jnp.eye(m, dtype=self.dtype)
+        return jax.vmap(self._matvec, in_axes=1, out_axes=1)(I)
+
+
+@jax.jit
+def _tree_tile_contract(k, r2, xg, ptsy, slot, ok, w):
+    yg = ptsy[slot]                        # (G, C, d)
+    wg = w[slot] * ok                      # (G, C)
+    D = jnp.maximum(
+        jnp.sum(xg * xg, 2)[:, :, None]
+        + jnp.sum(yg * yg, 2)[:, None, :]
+        - 2 * jnp.einsum("gxd,gcd->gxc", xg, yg),
+        0.0,
+    )
+    val = jnp.where((D <= r2) & ok[:, None, :], k.profile(D), 0.0)
+    return jnp.einsum("gxc,gc->gx", val, wg).reshape(-1)
+
+
+def _tree_candidates(xp, yp, same, r, leafsize=None):
+    """Ball-tree leaf-pair range search (reference src/sparse.jl:42-54
+    in_range_neighbors): balanced trees over targets and sources; leaf
+    pairs whose center distance exceeds r + rx + ry are pruned. Returns
+    the bucketed candidate structure (few distinct shapes — each distinct
+    (G, C) shape is a separate remote compile on the TPU tunnel), or None
+    when pruning won't pay (high-d: leaf radii swamp the decay radius —
+    the dense scan is then the faster MXU-friendly path)."""
+    from ..barneshut.tree import build_tree
+
+    n, m, d = xp.shape[0], yp.shape[0], xp.shape[1]
+    leafsize = leafsize or max(32, min(256, int(math.sqrt(max(n, 1))) // 2 * 2))
+    tx = build_tree(np.asarray(xp), leafsize)
+    ty = tx if same else build_tree(np.asarray(yp), leafsize)
+    Lx, Ly = tx.levels, ty.levels
+    cx, rx = tx.centers_np[Lx], tx.radii_np[Lx]
+    cy, ry = ty.centers_np[Ly], ty.radii_np[Ly]
+    lsx, lsy = tx.leafsize, ty.leafsize
+    Gx, Gy = tx.n_leaves, ty.n_leaves
+
+    dist = np.sqrt(
+        np.maximum(
+            (cx * cx).sum(1)[:, None] + (cy * cy).sum(1)[None, :]
+            - 2 * cx @ cy.T,
+            0.0,
+        )
+    )
+    cand = dist <= r + rx[:, None] + ry[None, :]
+    kcnt = cand.sum(1)
+    # pruning payoff test: candidate fraction of all source leaves
+    if kcnt.mean() > 0.5 * Gy:
+        return None
+
+    perm_x = np.asarray(tx.perm)
+    perm_y = np.asarray(ty.perm)
+    ycol_of_slot = perm_y  # permuted slot -> original column (>= m: pad)
+
+    # bucket x-leaves by padded candidate count (pow2)
+    Kpad = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(kcnt, 1))).astype(int))
+    xg_all = tx.points.reshape(Gx, lsx, d)
+    lsy_ar = np.arange(lsy)
+    buckets = []
+    for Kb in np.unique(Kpad):
+        sel = np.nonzero(Kpad == Kb)[0]
+        G = sel.shape[0]
+        # vectorized candidate-list packing: nonzero is ordered by group
+        gi_idx, leaf_idx = np.nonzero(cand[sel])
+        cnt_g = kcnt[sel]
+        pos = np.arange(gi_idx.shape[0]) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt_g)[:-1]]), cnt_g
+        )
+        ids = np.zeros((G, Kb), dtype=np.int64)
+        vmask = np.zeros((G, Kb), dtype=bool)
+        ids[gi_idx, pos] = leaf_idx
+        vmask[gi_idx, pos] = True
+        slot = (ids[:, :, None] * lsy + lsy_ar[None, None, :]).reshape(G, Kb * lsy)
+        gcols = ycol_of_slot[slot]  # (G, C) original column ids (>=m: pad)
+        okmask = np.repeat(vmask, lsy, axis=1) & (gcols < m)
+        buckets.append((sel, slot, gcols, okmask))
+    return dict(tx=tx, ty=ty, buckets=buckets, xg_all=xg_all,
+                perm_x=perm_x, perm_y=perm_y, lsx=lsx, Gx=Gx)
+
+
+def _tree_lazy_operator(k, xp, yp, same, r, cd):
+    """Build the lazy TreeSparseOperator from the candidate structure.
+    Device memory: slot/mask arrays only; zero ELL materialization and
+    zero device->host value traffic. Returns (operator, nnz)."""
+    n, m = xp.shape[0], yp.shape[0]
+    r2 = r * r
+    lsx, Gx = cd["lsx"], cd["Gx"]
+    perm_x = cd["perm_x"]
+    pts_y = cd["ty"].points
+    pts_y_np = np.asarray(pts_y)
+    rowvalid = perm_x < n
+
+    x3s, dsts, slots, masks = [], [], [], []
+    counts_t = np.zeros((Gx, lsx), dtype=np.int64)
+    for sel, slot, gcols, okmask in cd["buckets"]:
+        xg = jnp.asarray(cd["xg_all"][sel])
+        ygath = jnp.asarray(pts_y_np[slot])
+        okj = jnp.asarray(okmask)
+        counts_t[sel] = np.asarray(_tree_counts(xg, ygath, okj, okj, r2))
+        rows_t = (sel[:, None] * lsx + np.arange(lsx)[None, :]).reshape(-1)
+        dst = np.where(rowvalid[rows_t], perm_x[rows_t], n).astype(np.int32)
+        x3s.append(xg)
+        dsts.append(jnp.asarray(dst))
+        slots.append(jnp.asarray(slot.astype(np.int32)))
+        masks.append(okj)
+    nnz = int(counts_t.reshape(-1)[rowvalid].sum())
+    op = TreeSparseOperator(k, r2, x3s, pts_y, dsts, slots, masks, n, m,
+                            jnp.asarray(cd["perm_y"]), nnz)
+    return op, nnz
+
+
+def _tree_neighbor_lists(k, xp, yp, same, r, leafsize=None, cd=None):
+    """Materialized (cols, vals, counts, width) ELL rows via the tree
+    candidate structure, cols in original y numbering (fill m). Returns
+    None when pruning won't pay."""
+    n, m = xp.shape[0], yp.shape[0]
+    if cd is None:
+        cd = _tree_candidates(xp, yp, same, r, leafsize)
+    if cd is None:
+        return None
+    lsx, Gx = cd["lsx"], cd["Gx"]
+    perm_x = cd["perm_x"]
+    pts_y_np = np.asarray(cd["ty"].points)
+    bucket_data = [
+        (sel, jnp.asarray(cd["xg_all"][sel]), jnp.asarray(pts_y_np[slot]),
+         jnp.asarray(gcols.astype(np.int32)), jnp.asarray(okmask))
+        for sel, slot, gcols, okmask in cd["buckets"]
+    ]
+
+    r2 = r * r
+    # pass 1: global max row count -> shared ELL width
+    counts_t = np.zeros((Gx, lsx), dtype=np.int64)
+    for sel, xg, ygath, gcols, okmask in bucket_data:
+        counts_t[sel] = np.asarray(_tree_counts(xg, ygath, okmask, okmask, r2))
+    counts_t = counts_t.reshape(-1)
+    width = max(8, -(-int(counts_t.max()) // 8) * 8)
+
+    out_cols = np.full((n, width), m, dtype=np.int32)
+    out_vals = np.zeros((n, width), dtype=np.asarray(xp).dtype)
+    rowvalid = perm_x < n
+    sentinel = np.iinfo(np.int32).max
+    for sel, xg, ygath, gcols, okmask in bucket_data:
+        cols_b, vals_b = _tree_build(k, xg, ygath, gcols, okmask, r2, width)
+        cols_b = np.asarray(cols_b).reshape(-1, width)  # (G*lsx, width)
+        vals_b = np.asarray(vals_b).reshape(-1, width)
+        rows_t = (sel[:, None] * lsx + np.arange(lsx)[None, :]).reshape(-1)
+        ok = rowvalid[rows_t]
+        dst = perm_x[rows_t[ok]]
+        c = cols_b[ok]
+        out_cols[dst] = np.where(c == sentinel, m, c)
+        out_vals[dst] = vals_b[ok]
+
+    counts = np.zeros(n, dtype=np.int64)
+    counts[perm_x[rowvalid]] = counts_t[rowvalid]
+    # sort each row by column id (pad col = m lands last): the TileELL
+    # packer's run-length collision logic requires sorted ELL rows, and
+    # sorted rows gather more coherently in the plain-ELL MVM too
+    order = np.argsort(out_cols, axis=1, kind="stable")
+    out_cols = np.take_along_axis(out_cols, order, axis=1)
+    out_vals = np.take_along_axis(out_vals, order, axis=1)
+    return jnp.asarray(out_cols), jnp.asarray(out_vals), counts, width
+
+
 def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
-                   format: str = "tile"):
+                   format: str = "tile", method: str = "auto",
+                   leafsize: int = None):
     """Sparse approximation of gramian(k, x, y): keeps entries within the
     analytic decay radius (reference `SparseArrays.sparse(G, tol)`,
-    src/sparse.jl:5-22). Built entirely on device in row blocks; returns
-    (operator, nnz_ratio). format: "tile" (TPU-native TileELL, default),
-    "ell" (plain ELLPACK) or "bcoo"."""
+    src/sparse.jl:5-22). Returns (operator, nnz_ratio).
+    format: "tile" (TPU-native TileELL, default), "ell" or "bcoo".
+    method: "tree" (ball-tree leaf-pair pruned range search, reference
+    src/sparse.jl:42-54), "scan" (blocked dense distance scan on the MXU),
+    or "auto" — tree when the leaf test predicts real pruning (low-d,
+    local neighborhoods), else scan."""
     from ..utils.grids import as_points
 
     tol = DEFAULT.default_tol if tol is None else tol
@@ -187,6 +452,27 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
         )
     r2 = r * r
     n, m = xp.shape[0], yp.shape[0]
+
+    if format == "lazy" or (method in ("tree", "auto") and n * m > (1 << 18)):
+        cd = _tree_candidates(xp, yp, y is None, r, leafsize)
+        if cd is not None:
+            # at large n the materialized ELL arrays cost O(n*width) HBM
+            # and (on a remote tunnel) a device->host round trip that
+            # dwarfs the math — the lazy leaf-tile operator keeps only
+            # O(n * avg_candidates) int32 slots on device
+            if format == "lazy" or (format == "tile" and n * m > (1 << 31)):
+                op, nnz = _tree_lazy_operator(k, xp, yp, y is None, r, cd)
+                return op, nnz / (n * m)
+            res = _tree_neighbor_lists(k, xp, yp, y is None, r, leafsize, cd=cd)
+            cols, vals, counts, width = res
+            nnz = int(counts.sum())
+            ratio = nnz / (n * m)
+            return _pack_sparse(cols, vals, counts, n, m, nnz, format), ratio
+        if method == "tree" or format == "lazy":
+            raise ValueError(
+                "tree sparsification prunes nothing here (leaf radii >= "
+                "decay radius, e.g. high-d data); use method='scan'"
+            )
     nb = -(-n // block)
     # pad rows far away (finite: 1e15^2 stays inside float32 range, so no
     # inf-inf NaNs in the distance expansion); padded rows match nothing
@@ -208,13 +494,22 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     vals = vals.reshape(nb * block, width)[:n]
     nnz = int(counts.sum())
     ratio = nnz / (n * m)
+    return _pack_sparse(cols, vals, counts, n, m, nnz, format), ratio
 
+
+def _pack_sparse(cols, vals, counts, n, m, nnz, format):
+    if format == "tile" and -(-m // 128) > 256:
+        # TileELL slabs are dense over column tiles: HBM ~ n*m*K/16 B and
+        # the per-grid-step VMEM block ~ 8*nt*128*8 B both scale with m.
+        # Beyond nt=256 (m > 32768) the format stops paying — plain ELL
+        # keeps memory at O(nnz).
+        format = "ell"
     if format == "ell":
-        return EllSparseOperator(cols, vals, m, nnz), ratio
+        return EllSparseOperator(cols, vals, m, nnz)
     if format == "tile":
         from .tile_ell import build_tile_ell_device
 
-        return build_tile_ell_device(cols, vals, counts, n, m), ratio
+        return build_tile_ell_device(cols, vals, counts, n, m)
     # host COO for BCOO export
     cols_np = np.asarray(cols)
     vals_np = np.asarray(vals)
@@ -225,5 +520,4 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     indices = jnp.asarray(
         np.stack([rows_np[keep], cols_np[keep]], axis=1), dtype=jnp.int32
     )
-    mat = jsparse.BCOO((jnp.asarray(vals_np[keep]), indices), shape=(n, m))
-    return mat, ratio
+    return jsparse.BCOO((jnp.asarray(vals_np[keep]), indices), shape=(n, m))

@@ -123,3 +123,70 @@ def test_tile_ell_matrix_rhs(rng):
     expect = np.asarray(S.todense()) @ np.asarray(A)
     assert out.shape == (n, 4)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_tree_sparsification_matches_scan(rng):
+    # ball-tree leaf-pair pruned range search (reference src/sparse.jl:42-54)
+    # must produce the identical sparse pattern + values as the dense scan
+    from cfjax.kernels import EQ, Lengthscale
+    from cfjax.operators.sparse_op import sparse_gramian
+
+    n = 4096
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    k = Lengthscale(EQ(), 0.05)
+    S_tree, r_tree = sparse_gramian(k, x, tol=1e-6, method="tree", format="ell")
+    S_scan, r_scan = sparse_gramian(k, x, tol=1e-6, method="scan", format="ell")
+    assert r_tree == r_scan
+    a = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(S_tree @ a), np.asarray(S_scan @ a), rtol=1e-12, atol=1e-14
+    )
+
+
+def test_tree_sparsification_cross_and_tile(rng):
+    from cfjax.kernels import EQ, Lengthscale
+    from cfjax.operators.sparse_op import sparse_gramian
+
+    n, m = 1500, 900  # uneven, cross gramian
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    y = jnp.asarray(rng.standard_normal((m, 2)))
+    k = Lengthscale(EQ(), 0.1)
+    S_tree, _ = sparse_gramian(k, x, y, tol=1e-6, method="tree", format="tile")
+    S_scan, _ = sparse_gramian(k, x, y, tol=1e-6, method="scan", format="ell")
+    a = jnp.asarray(rng.standard_normal(m))
+    np.testing.assert_allclose(
+        np.asarray(S_tree @ a), np.asarray(S_scan @ a), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_tree_sparsification_high_d_falls_back(rng):
+    # in high-d the leaf test prunes nothing: auto must take the scan
+    # path, explicit tree must raise
+    from cfjax.kernels import EQ
+    from cfjax.operators.sparse_op import sparse_gramian
+
+    n, d = 1024, 16
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    S, ratio = sparse_gramian(EQ(), x, tol=1e-3, method="auto", format="ell")
+    assert ratio > 0
+    with pytest.raises(ValueError):
+        sparse_gramian(EQ(), x, tol=1e-3, method="tree", format="ell")
+
+
+def test_tree_sparsification_lazy_operator(rng):
+    # lazy leaf-tile block-sparse operator: zero materialization, exact
+    # same entries as the scan within the decay radius
+    from cfjax.kernels import EQ, Lengthscale
+    from cfjax.operators.sparse_op import TreeSparseOperator, sparse_gramian
+
+    n = 4096
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    k = Lengthscale(EQ(), 0.05)
+    S_lazy, r1 = sparse_gramian(k, x, tol=1e-6, format="lazy")
+    assert isinstance(S_lazy, TreeSparseOperator)
+    S_scan, r2 = sparse_gramian(k, x, tol=1e-6, method="scan", format="ell")
+    assert r1 == r2
+    a = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(S_lazy @ a), np.asarray(S_scan @ a), rtol=1e-12, atol=1e-13
+    )
