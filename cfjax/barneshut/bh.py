@@ -164,25 +164,35 @@ def bh_matvec(
 def _max_open_nodes(gc, gr, centers, radii, theta, levels):
     """Per-group max open-node count over all levels (sizes the frontier
     buckets). Uses the exact group criterion of the sweep, so the counts
-    are tight. Pure numpy — the probe runs at construction time on host
-    (device round-trips here dominated the reference's 77 ms build)."""
+    are tight. Pure numpy, FRONTIER-compacted: each level only tests the
+    children of the previous level's open nodes (like the sweep itself),
+    so work is O(groups * frontier) per level instead of O(groups * 2^l)
+    — the dense variant cost ~30 s at n = 10^6 and dominated the build."""
     g = gc.shape[0]
-    opened = np.ones((g, 1), dtype=bool)
     worst = np.ones((g,), dtype=np.int64)
+    cand = np.zeros((g, 1), dtype=np.int64)   # node ids at this level
+    valid = np.ones((g, 1), dtype=bool)
     gr_col = gr[:, None]
+    ar = np.arange(g)[:, None]
     for l in range(levels + 1):
         C, R = centers[l], radii[l]
-        d2 = np.maximum(
-            np.sum(gc * gc, 1)[:, None] + np.sum(C * C, 1)[None, :] - 2 * gc @ C.T,
-            0.0,
-        )
-        far = (theta * np.maximum(np.sqrt(d2) - gr_col, 0.0) > R[None, :]) | (
-            R[None, :] <= 0.0
-        )
-        open_ = ~far & opened
-        np.maximum(worst, open_.sum(axis=1), out=worst)
-        if l < levels:
-            opened = np.repeat(open_, 2, axis=1)
+        Cc = C[cand]                           # (g, F, d) gather
+        d2 = ((gc[:, None, :] - Cc) ** 2).sum(-1)
+        Rc = R[cand]
+        far = (theta * np.maximum(np.sqrt(d2) - gr_col, 0.0) > Rc) | (Rc <= 0.0)
+        open_ = ~far & valid
+        cnt = open_.sum(axis=1)
+        np.maximum(worst, cnt, out=worst)
+        if l == levels:
+            break
+        # compact open nodes to the front (stable partition via argsort
+        # of the negated mask), shrink the frontier to the max count
+        Fn = max(1, int(cnt.max()))
+        order = np.argsort(~open_, axis=1, kind="stable")[:, :Fn]
+        fr = cand[ar, order]
+        fv = open_[ar, order]
+        cand = np.concatenate([2 * fr, 2 * fr + 1], axis=1)
+        valid = np.concatenate([fv, fv], axis=1)
     return worst
 
 
@@ -219,17 +229,30 @@ class BarnesHutFactorization(LinearOperator):
         self.dtype = jnp.result_type(xp.dtype, float)
 
         # group the targets by their own spatial tree (gives contiguous
-        # groups + centers/radii); for x is y this is a coarser view of
-        # the source tree
-        self.tgt_tree = build_tree(np.asarray(xp), group_size)
-        tt = self.tgt_tree
-        G = tt.leafsize
-        ngroups = tt.n_leaves
-        self.xg = tt.points.reshape(ngroups, G, xp.shape[1])
-        self.gc = tt.centers[tt.levels]
-        self.gr = tt.radii[tt.levels]
-        self._tgt_perm = tt.perm  # padded-target permutation
-        self._tgt_P = tt.points.shape[0]
+        # groups + centers/radii); for x is y the source tree's level
+        # L - log2(group/leaf) IS that grouping — reuse it instead of
+        # building a second tree (HALVES the build at n = 10^6)
+        t = self.tree
+        ratio = max(1, group_size // max(t.leafsize, 1))
+        j = int(np.log2(ratio)) if ratio & (ratio - 1) == 0 else -1
+        if self._same and j >= 0 and t.levels - j >= 0:
+            Lg = t.levels - j
+            ngroups = 2**Lg
+            G = t.points.shape[0] // ngroups
+            self.xg = t.points.reshape(ngroups, G, xp.shape[1])
+            self.gc = t.centers[Lg]
+            self.gr = t.radii[Lg]
+            self._tgt_perm = t.perm
+            self._tgt_P = t.points.shape[0]
+        else:
+            tt = build_tree(np.asarray(xp), group_size)
+            G = tt.leafsize
+            ngroups = tt.n_leaves
+            self.xg = tt.points.reshape(ngroups, G, xp.shape[1])
+            self.gc = tt.centers[tt.levels]
+            self.gr = tt.radii[tt.levels]
+            self._tgt_perm = tt.perm  # padded-target permutation
+            self._tgt_P = tt.points.shape[0]
 
         # Probe per-group frontier widths and bucket the work: groups in
         # sparse regions have large radii and wide frontiers; subdividing
@@ -247,8 +270,11 @@ class BarnesHutFactorization(LinearOperator):
         while work:
             xg_w, gc_w, gr_w, rows_w = work.pop()
             counts = []
-            # chunk so the deepest-level (chunk, 2^L) mask stays bounded
-            chunk = max(8, min(512, (1 << 24) // max(self.tree.n_leaves, 1)))
+            # small chunks keep the probe's frontier padding local: one
+            # wide group in a chunk pads only its chunkmates, not every
+            # group (the probe is frontier-compacted, so memory is
+            # O(chunk * Fmax), never 2^L)
+            chunk = 256
             for i0 in range(0, xg_w.shape[0], chunk):
                 counts.append(
                     _max_open_nodes(

@@ -245,8 +245,21 @@ class GradientGramian(LinearOperator):
         # (cov of derivatives); don't claim it from symmetry alone
         return self._same and getattr(self.k, "is_mercer", False)
 
+    def _pallas_ok(self):
+        from ..ops.pallas_mvm import pallas_supported
+
+        return (
+            self.mode in ("iso", "dot")
+            and self.shape[0] >= 2048 * self.d
+            and pallas_supported(self.k, self.mode, self.x, self.y)
+        )
+
     def _apply(self, A):
         kws = {} if self.block is None else dict(block=self.block)
+        if self.mode in ("iso", "dot") and self._pallas_ok():
+            from ..ops.pallas_mvm import pallas_grad_matvec
+
+            return pallas_grad_matvec(self.k, self.x, self.y, A, self.mode)
         if self.mode == "iso":
             return grad_matvec_iso(self.k, self.x, self.y, A, **kws)
         if self.mode == "dot":

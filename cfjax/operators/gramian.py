@@ -188,6 +188,10 @@ class Gramian(LinearOperator):
         return gramian_matvec(self.k, self.x, self.y, v, self.mode, self.block)
 
     def _matmat(self, V):
+        if self._pallas_ok():
+            from ..ops.pallas_mvm import pallas_gramian_matvec
+
+            return pallas_gramian_matvec(self.k, self.x, self.y, V, self.mode)
         return gramian_matvec(self.k, self.x, self.y, V, self.mode, self.block)
 
     def _rmatvec(self, v):
