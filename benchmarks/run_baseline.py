@@ -297,6 +297,25 @@ def bench_barneshut():
     err2 = float(jnp.linalg.norm(b2[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.25_n65536", dt, 0.223,
            note=f"rel err {err2:.2e} (ref 4.3e-3)")
+    # north-star scale: n = 10^6 (no reference number exists at this n)
+    n3 = 1_000_000
+    x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
+    w3 = jnp.asarray(rng.uniform(0, 1, n3), dtype=jnp.float32)
+    t0 = time.perf_counter()
+    F3 = BarnesHutFactorization(EQ(), x3, theta=0.5)
+    record("barneshut_build_n1e6_d2", time.perf_counter() - t0, float("nan"),
+           note="host wall clock; first call pays a one-time D2H sync")
+    dt3 = timed(F3._matvec, w3, iters=(2, 10))
+    b3 = F3 @ w3
+    idx3 = rng.integers(0, n3, 16)
+    rows3 = jnp.stack([
+        jnp.sum(jnp.exp(-jnp.sum((x3 - x3[i]) ** 2, 1) / 2) * w3)
+        for i in idx3
+    ])
+    err3 = float(jnp.linalg.norm(b3[jnp.asarray(idx3)] - rows3)
+                 / jnp.linalg.norm(rows3))
+    record("barneshut_mvm_theta0.5_n1e6", dt3, float("nan"),
+           note=f"rel err {err3:.2e} vs 16 exact rows")
 
 
 def tile_ell_chained(S, a):
@@ -326,6 +345,21 @@ def bench_sparse():
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     record("sparse_mvm_eq_n16384_d32", tile_ell_chained(S, a), 0.45e-3,
            work_sparse_mvm(S))
+    # tree-pruned lazy operator at n = 250k (quadratic scan infeasible on
+    # the reference's path; no reference number)
+    from cfjax.kernels import Lengthscale
+
+    n2 = 250_000
+    x2 = jnp.asarray(rng.standard_normal((n2, 2)), dtype=jnp.float32)
+    k2 = Lengthscale(EQ(), 0.01)
+    t0 = time.perf_counter()
+    S2, r2 = sparse_gramian(k2, x2, tol=1e-6, format="lazy")
+    record("sparsify_tree_build_n250k_d2", time.perf_counter() - t0,
+           float("nan"), note=f"lazy leaf-tile operator, nnz ratio {r2:.1e}")
+    a2 = jnp.asarray(rng.standard_normal(n2), dtype=jnp.float32)
+    record("sparse_lazy_mvm_n250k_d2", timed(S2._matvec, a2, iters=(2, 10)),
+           float("nan"),
+           note=f"recomputed kernel tiles, nnz {S2.nnz:.2e}")
 
 
 def main():

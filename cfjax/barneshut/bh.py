@@ -44,7 +44,7 @@ def _sqd(xb, c):
     )
 
 
-@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open"))
+@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "order"))
 def bh_matvec(
     k,
     xg,            # (ngroups, G, d) grouped targets (tree order)
@@ -58,8 +58,16 @@ def bh_matvec(
     levels: int,
     leafsize: int,
     max_open: int,
+    order: int = 1,
 ):
     """Approximate b = K w, returned in grouped (ngroups, G) layout.
+
+    order: far-field expansion order about the node |w|-center of mass —
+    1 = dipole (reference src/taylor.jl:7-57), 2 = quadrupole using the
+    node second-moment tensor Q = sum_j w_j (y_j-c)(y_j-c)^T:
+        + 2 f''(s_c) r_c^T Q r_c + f'(s_c) tr Q,  r_c = x - c
+    (the analogue of the reference's PowersArray higher-order scaffold,
+    src/taylor.jl:62-85).
 
     Returns (b, overflow); overflow > 0 would mean frontier truncation
     (prevented by the constructor's exact probe)."""
@@ -68,8 +76,9 @@ def bh_matvec(
     nleaf = 2**levels
     F = max_open
 
-    # per-level node sums / |w|-coms / dipole moments (reshape-reductions)
-    S_l, com_l, mu_l = [], [], []
+    # per-level node sums / |w|-coms / dipole (+ optional quadrupole)
+    # moments (reshape-reductions)
+    S_l, com_l, mu_l, Q_l = [], [], [], []
     aw = jnp.abs(w)
     eps = jnp.finfo(w.dtype).eps
     for l in range(levels + 1):
@@ -81,14 +90,25 @@ def bh_matvec(
         com = jnp.sum(awl[:, :, None] * pts, axis=1) / (
             jnp.sum(awl, axis=1)[:, None] + eps
         )
-        mu = jnp.sum(wl[:, :, None] * (pts - com[:, None, :]), axis=1)
+        delta = pts - com[:, None, :]
+        mu = jnp.sum(wl[:, :, None] * delta, axis=1)
         S_l.append(S)
         com_l.append(com)
         mu_l.append((mu, jnp.sum(com * mu, axis=1)))
+        if order >= 2:
+            Q = jnp.einsum("npd,npe->nde", wl[:, :, None] * delta, delta)
+            Q_l.append((Q, jnp.trace(Q, axis1=1, axis2=2)))
 
     theta2 = theta * theta
     leaf_pts = tree_points.reshape(nleaf, leafsize, d)
     leaf_w = w.reshape(nleaf, leafsize)
+    if order >= 2:
+        def _prof_d2(s):
+            f1fn = lambda t: jax.jvp(k.profile, (t,), (jnp.ones_like(t),))[1]
+            f0 = k.profile(s)
+            f1 = f1fn(s)
+            _, f2 = jax.jvp(f1fn, (s,), (jnp.ones_like(s),))
+            return f0, f1, f2
     vg = jax.vmap(jax.vmap(jax.value_and_grad(lambda s: k.profile(s))))
 
     def group_body(xt, c0, r0):
@@ -117,11 +137,19 @@ def bh_matvec(
                 - 2 * (xt @ comc.T),
                 0.0,
             )                                    # (G, 2F)
-            f0, f1 = vg(D2)
+            if order >= 2:
+                f0, f1, f2 = _prof_d2(D2)
+            else:
+                f0, f1 = vg(D2)
             xdotmu = xt @ mu[cand].T             # (G, 2F)
             contrib = f0 * S[cand][None, :] - 2.0 * f1 * (
                 xdotmu - commu[cand][None, :]
             )
+            if order >= 2:
+                Qc, trQc = Q_l[l][0][cand], Q_l[l][1][cand]  # (2F,d,d),(2F,)
+                rc = xt[:, None, :] - comc[None, :, :]       # (G, 2F, d)
+                rQr = jnp.einsum("gfd,fde,gfe->gf", rc, Qc, rc)
+                contrib = contrib + 2.0 * f2 * rQr + f1 * trQc[None, :]
             acc = acc + jnp.sum(jnp.where(far[None, :], contrib, 0.0), axis=1)
             overflow = jnp.maximum(overflow, jnp.sum(open_) - F)
             vals_k, pos = jax.lax.top_k(open_.astype(jnp.int32), F)
@@ -211,6 +239,7 @@ class BarnesHutFactorization(LinearOperator):
         leafsize: int = None,
         max_open: int = None,
         group_size: int = 256,
+        order: int = 1,
     ):
         from ..utils.grids import as_points
 
@@ -221,6 +250,7 @@ class BarnesHutFactorization(LinearOperator):
         yp = xp if y is None else as_points(y)
         self._same = y is None
         self.theta = DEFAULT.barneshut_theta if theta is None else theta
+        self.order = order
         leafsize = DEFAULT.barneshut_leafsize if leafsize is None else leafsize
         self.tree = build_tree(np.asarray(yp), leafsize)
         self.m = yp.shape[0]
@@ -350,6 +380,7 @@ class BarnesHutFactorization(LinearOperator):
                 t.levels,
                 t.leafsize,
                 F,
+                self.order,
             )
             flat = flat.at[jnp.asarray(rows_b.reshape(-1))].set(out_g.reshape(-1))
         out = jnp.zeros((self._tgt_P,), dtype=flat.dtype)

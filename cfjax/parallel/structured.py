@@ -249,7 +249,8 @@ def sharded_bh_matvec(F, v, mesh: Mesh, axis: str = None):
         gr_p = np.concatenate([gr_b, np.repeat(gr_b[-1:], pg, 0)]) if pg else gr_b
 
         fn = partial(bh_matvec, theta=F.theta, levels=t.levels,
-                     leafsize=t.leafsize, max_open=Fo)
+                     leafsize=t.leafsize, max_open=Fo,
+                     order=getattr(F, "order", 1))
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(), P(axis), P(axis), P(axis), P(),

@@ -190,3 +190,25 @@ def test_tree_sparsification_lazy_operator(rng):
     np.testing.assert_allclose(
         np.asarray(S_lazy @ a), np.asarray(S_scan @ a), rtol=1e-12, atol=1e-13
     )
+
+
+def test_barneshut_quadrupole_improves_accuracy(rng):
+    # order=2 far field (node second moments) must beat the dipole at the
+    # same theta on signed weights (reference PowersArray higher-order
+    # scaffold, src/taylor.jl:62-85)
+    from cfjax.kernels import EQ
+    from cfjax.barneshut import BarnesHutFactorization
+    from cfjax.utils.testing import pairwise
+
+    n = 1200
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    w = jnp.asarray(rng.standard_normal(n))  # signed
+    exact = np.asarray(pairwise(EQ(), x, x)) @ np.asarray(w)
+    errs = {}
+    for order in (1, 2):
+        F = BarnesHutFactorization(EQ(), x, theta=0.6, group_size=32,
+                                   order=order)
+        b = np.asarray(F @ w)
+        errs[order] = np.linalg.norm(b - exact) / np.linalg.norm(exact)
+    assert errs[2] < 0.7 * errs[1]
+    assert errs[2] < 5e-2
