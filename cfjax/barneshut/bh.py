@@ -268,30 +268,30 @@ class BarnesHutFactorization(LinearOperator):
         if self._same and j >= 0 and t.levels - j >= 0:
             Lg = t.levels - j
             ngroups = 2**Lg
-            G = t.points.shape[0] // ngroups
-            self.xg = t.points.reshape(ngroups, G, xp.shape[1])
-            self.gc = t.centers[Lg]
-            self.gr = t.radii[Lg]
+            G = t.points_np.shape[0] // ngroups
+            self.xg = t.points_np.reshape(ngroups, G, xp.shape[1])
+            self.gc = t.centers_np[Lg]
+            self.gr = t.radii_np[Lg]
             self._tgt_perm = t.perm
-            self._tgt_P = t.points.shape[0]
+            self._tgt_P = t.points_np.shape[0]
         else:
             tt = build_tree(np.asarray(xp), group_size)
             G = tt.leafsize
             ngroups = tt.n_leaves
-            self.xg = tt.points.reshape(ngroups, G, xp.shape[1])
-            self.gc = tt.centers[tt.levels]
-            self.gr = tt.radii[tt.levels]
+            self.xg = tt.points_np.reshape(ngroups, G, xp.shape[1])
+            self.gc = tt.centers_np[tt.levels]
+            self.gr = tt.radii_np[tt.levels]
             self._tgt_perm = tt.perm  # padded-target permutation
-            self._tgt_P = tt.points.shape[0]
+            self._tgt_P = tt.points_np.shape[0]
 
         # Probe per-group frontier widths and bucket the work: groups in
         # sparse regions have large radii and wide frontiers; subdividing
         # them (smaller group radius) shrinks their frontier, and distinct
         # width tiers compile separately so the tail doesn't inflate
         # everyone's buffers.
-        xg_np = np.asarray(self.xg)
-        gc_np = np.asarray(self.gc)
-        gr_np = np.asarray(self.gr)
+        xg_np = self.xg        # numpy mirrors: the probe/subdivision loop
+        gc_np = self.gc        # is host-side; going through the device
+        gr_np = self.gr        # arrays cost a tunnel round trip EACH
         rows_np = np.arange(ngroups * G).reshape(ngroups, G)
         work = [(xg_np, gc_np, gr_np, rows_np)]
         roundup = lambda v: max(8, int(np.ceil(v / 8)) * 8)

@@ -30,6 +30,8 @@ class BalancedTree:
     radii: list               # per level l: (2^l,) covering radii
     centers_np: list = None   # numpy mirrors for host-side probes
     radii_np: list = None
+    points_np: np.ndarray = None  # numpy mirror of `points` (free on host
+                                  # builds; saves a tunnel D2H per consumer)
 
     @property
     def n_leaves(self):
@@ -121,6 +123,7 @@ def build_tree(y, leafsize: int = 16, method: str = "auto") -> BalancedTree:
         radii=radii,
         centers_np=centers_np,
         radii_np=radii_np,
+        points_np=points,
     )
 
 
@@ -214,4 +217,5 @@ def _build_tree_morton(yp, m, d, L, ls, P, pad) -> BalancedTree:
         radii=[jnp.asarray(r) for r in radii_np],
         centers_np=centers_np,
         radii_np=radii_np,
+        points_np=points,
     )

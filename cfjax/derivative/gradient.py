@@ -250,7 +250,7 @@ class GradientGramian(LinearOperator):
 
         return (
             self.mode in ("iso", "dot")
-            and self.shape[0] >= 2048 * self.d
+            and self.shape[0] >= 1024 * self.d
             and pallas_supported(self.k, self.mode, self.x, self.y)
         )
 

@@ -172,26 +172,28 @@ class Gramian(LinearOperator):
     def _pallas_ok(self):
         if self.use_pallas == "never":
             return False
-        from ..ops.pallas_mvm import pallas_supported
+        from ..ops.pallas_mvm import pallas_supported, profile_vpu_cost
 
         ok = pallas_supported(self.k, self.mode, self.x, self.y)
         if self.use_pallas == "always":
             return ok
-        # auto: worthwhile above ~2k rows
-        return ok and self.shape[0] >= 2048
+        # auto: the fused kernel wins only once the S = x yᵀ matmul
+        # dominates the per-entry profile work (VPU); measured crossover
+        # on v5e is d ≈ 16·profile_cost (EQ: d≳150, MaternP: d≳550).
+        # Below it XLA's fused matmul-expansion path is faster.
+        return (ok and self.shape[0] >= 2048
+                and self.x.shape[1] >= 16 * profile_vpu_cost(self.k))
 
     def _matvec(self, v):
-        if self._pallas_ok():
+        if v.ndim == 1 and self._pallas_ok():
             from ..ops.pallas_mvm import pallas_gramian_matvec
 
             return pallas_gramian_matvec(self.k, self.x, self.y, v, self.mode)
         return gramian_matvec(self.k, self.x, self.y, v, self.mode, self.block)
 
     def _matmat(self, V):
-        if self._pallas_ok():
-            from ..ops.pallas_mvm import pallas_gramian_matvec
-
-            return pallas_gramian_matvec(self.k, self.x, self.y, V, self.mode)
+        # multi-RHS stays on the XLA path: it reuses each kernel tile
+        # across all columns, which the single-RHS fused kernel cannot.
         return gramian_matvec(self.k, self.x, self.y, V, self.mode, self.block)
 
     def _rmatvec(self, v):

@@ -321,7 +321,7 @@ def _tree_candidates(xp, yp, same, r, leafsize=None):
 
     # bucket x-leaves by padded candidate count (pow2)
     Kpad = np.maximum(1, 1 << np.ceil(np.log2(np.maximum(kcnt, 1))).astype(int))
-    xg_all = tx.points.reshape(Gx, lsx, d)
+    xg_all = tx.points_np.reshape(Gx, lsx, d)
     lsy_ar = np.arange(lsy)
     buckets = []
     for Kb in np.unique(Kpad):
@@ -353,8 +353,8 @@ def _tree_lazy_operator(k, xp, yp, same, r, cd):
     r2 = r * r
     lsx, Gx = cd["lsx"], cd["Gx"]
     perm_x = cd["perm_x"]
-    pts_y = cd["ty"].points
-    pts_y_np = np.asarray(pts_y)
+    pts_y = cd["ty"].points          # device copy, owned by the operator
+    pts_y_np = cd["ty"].points_np    # host mirror for slot gathers
     rowvalid = perm_x < n
 
     x3s, dsts, slots, masks = [], [], [], []
@@ -387,7 +387,7 @@ def _tree_neighbor_lists(k, xp, yp, same, r, leafsize=None, cd=None):
         return None
     lsx, Gx = cd["lsx"], cd["Gx"]
     perm_x = cd["perm_x"]
-    pts_y_np = np.asarray(cd["ty"].points)
+    pts_y_np = cd["ty"].points_np
     bucket_data = [
         (sel, jnp.asarray(cd["xg_all"][sel]), jnp.asarray(pts_y_np[slot]),
          jnp.asarray(gcols.astype(np.int32)), jnp.asarray(okmask))
