@@ -275,11 +275,13 @@ def bench_barneshut():
     n, d = 65536, 2
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     w = jnp.asarray(rng.uniform(0, 1, n), dtype=jnp.float32)
+    BarnesHutFactorization(EQ(), x, theta=0.5)  # warm the build jits
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     t0 = time.perf_counter()
     F = BarnesHutFactorization(EQ(), x, theta=0.5)
-    jax.block_until_ready(F.tree.centers if hasattr(F, "tree") else w)
     record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077,
-           note="host wall clock (tree build + probes)")
+           note="warm wall clock (device tree build + host probes); "
+                "first-ever build adds one-time jit compiles")
     dt = timed(F._matvec, w, iters=(2, 18))
     b = F @ w
     idx = rng.integers(0, n, 256)
@@ -301,10 +303,12 @@ def bench_barneshut():
     n3 = 1_000_000
     x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
     w3 = jnp.asarray(rng.uniform(0, 1, n3), dtype=jnp.float32)
+    BarnesHutFactorization(EQ(), x3, theta=0.5)  # warm the build jits
+    x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
     t0 = time.perf_counter()
     F3 = BarnesHutFactorization(EQ(), x3, theta=0.5)
     record("barneshut_build_n1e6_d2", time.perf_counter() - t0, float("nan"),
-           note="host wall clock; first call pays a one-time D2H sync")
+           note="warm wall clock (device tree build + host probes)")
     dt3 = timed(F3._matvec, w3, iters=(2, 10))
     b3 = F3 @ w3
     idx3 = rng.integers(0, n3, 16)

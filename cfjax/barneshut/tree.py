@@ -39,30 +39,43 @@ class BalancedTree:
 
 
 def build_tree(y, leafsize: int = 16, method: str = "auto") -> BalancedTree:
-    """Build the complete balanced tree (host, numpy). Points are padded
-    to 2^L * ls by duplicating the last point (padded weights are zero at
-    matvec time, so results are exact; only node radii are mildly
-    affected).
+    """Build the complete balanced tree. Points are padded to 2^L * ls by
+    duplicating the last point (padded weights are zero at matvec time,
+    so results are exact; only node radii are mildly affected).
 
     method: "median" — per-level median splits along the widest dimension
-    (adaptive boxes, O(n) argpartition per level); "morton" — one Morton
-    (Z-order) sort, equal-count leaves sliced from the curve, boxes
-    computed bottom-up (ONE gather + one sort total — ~4x faster at
-    n = 10^6, slightly looser boxes); "auto" — morton for big low-d
-    inputs, median otherwise."""
-    y = np.asarray(y)
+    (adaptive boxes, O(n) argpartition per level, host numpy); "morton" —
+    one Hilbert-curve sort, equal-count leaves sliced from the curve,
+    boxes computed bottom-up (ONE gather + one sort total, slightly
+    looser boxes); "device" — the Hilbert build as a single jitted TPU
+    program (quantize → Hilbert transform → argsort → box/radius
+    reductions all on device; host mirrors fetched in ONE transfer —
+    every host-side pass AND the input device→host copy disappear);
+    "auto" — device on a TPU backend for d ≤ 4, else morton for big
+    low-d inputs, median otherwise."""
     if y.ndim == 1:
-        y = y[:, None]
+        y = y[:, None] if isinstance(y, np.ndarray) else jnp.reshape(y, (-1, 1))
     m, d = y.shape
     L = max(0, math.ceil(math.log2(max(1, m / leafsize))))
     nleaf = 2**L
     ls = math.ceil(m / nleaf)
     P = nleaf * ls
     pad = P - m
-    yp = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)], axis=0) if pad else y
 
     if method == "auto":
-        method = "morton" if (P >= (1 << 19) and d <= 8) else "median"
+        try:
+            on_tpu = __import__("jax").default_backend() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if on_tpu and d <= 4 and L > 0 and P >= (1 << 14):
+            method = "device"
+        else:
+            method = "morton" if (P >= (1 << 19) and d <= 8) else "median"
+    if method == "device" and d <= 4 and L > 0:
+        return _build_tree_device(y, m, d, L, ls, P, pad)
+
+    y = np.asarray(y)
+    yp = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)], axis=0) if pad else y
     if method == "morton" and d <= 16 and L > 0:
         return _build_tree_morton(yp, m, d, L, ls, P, pad)
 
@@ -218,4 +231,125 @@ def _build_tree_morton(yp, m, d, L, ls, P, pad) -> BalancedTree:
         centers_np=centers_np,
         radii_np=radii_np,
         points_np=points,
+    )
+
+
+def _hilbert_transpose_jnp(q, bits, d):
+    """Device port of _hilbert_transpose: q (P, d) uint32, static bit
+    loops (the curve order is a compile-time constant)."""
+    X = [q[:, j] for j in range(d)]
+    u = lambda v: jnp.uint32(v)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        p = u(Q - 1)
+        sh = Q.bit_length() - 1
+        for i in range(d):
+            mask = u(0) - ((X[i] & u(Q)) >> sh)
+            t = (X[0] ^ X[i]) & p & ~mask
+            X[0] = X[0] ^ ((p & mask) | t)
+            X[i] = X[i] ^ t
+        Q >>= 1
+    for i in range(1, d):
+        X[i] = X[i] ^ X[i - 1]
+    t = jnp.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        mask = u(0) - ((X[d - 1] & u(Q)) >> (Q.bit_length() - 1))
+        t = t ^ (u(Q - 1) & mask)
+        Q >>= 1
+    return [x ^ t for x in X]
+
+
+def _tree_device_impl(yp, bits, d, L, ls):
+    """One jitted program: Hilbert codes, argsort, permute, per-level
+    bounding boxes bottom-up, exact leaf radii + triangle-bound internal
+    radii. Codes are uint32 (TPU has no native 64-bit ints), so
+    bits*d <= 30 — the auto gate restricts the device path to d <= 4."""
+    P = yp.shape[0]
+    lo = yp.min(axis=0)
+    hi = yp.max(axis=0)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    q = ((yp - lo) / span * ((1 << bits) - 1)).astype(jnp.uint32)
+    X = _hilbert_transpose_jnp(q, bits, d)
+    code = jnp.zeros((P,), dtype=jnp.uint32)
+    for b in range(bits):
+        for j in range(d):
+            code = code | (((X[j] >> b) & jnp.uint32(1))
+                           << (b * d + (d - 1 - j)))
+    perm = jnp.argsort(code)
+    points = yp[perm]
+
+    pts = points.reshape(2**L, ls, d)
+    los = [None] * (L + 1)
+    his = [None] * (L + 1)
+    los[L] = pts.min(axis=1)
+    his[L] = pts.max(axis=1)
+    for l in range(L - 1, -1, -1):
+        los[l] = jnp.minimum(los[l + 1][0::2], los[l + 1][1::2])
+        his[l] = jnp.maximum(his[l + 1][0::2], his[l + 1][1::2])
+    centers = [0.5 * (los[l] + his[l]) for l in range(L + 1)]
+    radii = [0.5 * jnp.sqrt(((his[l] - los[l]) ** 2).sum(-1))
+             for l in range(L + 1)]
+    leaf_r2 = ((pts - centers[L][:, None, :]) ** 2).sum(-1)
+    radii[L] = jnp.sqrt(leaf_r2.max(axis=1))
+    for l in range(L - 1, -1, -1):
+        cc = centers[l + 1].reshape(2**l, 2, d)
+        rc = radii[l + 1].reshape(2**l, 2)
+        off = jnp.sqrt(((cc - centers[l][:, None, :]) ** 2).sum(-1))
+        radii[l] = jnp.minimum(radii[l], (rc + off).max(axis=1))
+    perm = perm.astype(jnp.int32)
+    # pack every host-mirror into ONE flat f32 buffer: device_get on a
+    # pytree fetches each leaf separately (2L+2 tunnel round trips);
+    # one packed fetch costs one.
+    import jax as _jax
+    packed = jnp.concatenate(
+        [_jax.lax.bitcast_convert_type(perm, jnp.float32), points.ravel()]
+        + [c.ravel() for c in centers] + [r.ravel() for r in radii])
+    return perm, points, tuple(centers), tuple(radii), packed
+
+
+_tree_device_jit = None
+
+
+def _build_tree_device(y, m, d, L, ls, P, pad) -> BalancedTree:
+    import jax
+    from functools import partial
+
+    global _tree_device_jit
+    if _tree_device_jit is None:
+        _tree_device_jit = jax.jit(_tree_device_impl,
+                                   static_argnames=("bits", "d", "L", "ls"))
+
+    bits = min(30 // d, 16)
+    while (1 << (bits * d)) < 16 * P and bits * d <= 28:
+        bits += 1
+
+    yj = jnp.asarray(y, dtype=jnp.float32)
+    if pad:
+        yj = jnp.concatenate([yj, jnp.broadcast_to(yj[-1:], (pad, d))], axis=0)
+    perm, points, centers, radii, packed = _tree_device_jit(
+        yj, bits=bits, d=d, L=L, ls=ls)
+    # host mirrors in ONE device->host transfer (the tunnel round trip is
+    # ~36 ms regardless of payload; per-array fetches dominated the build)
+    buf = np.asarray(packed)
+    o = 0
+    perm_np = buf[o:o + P].view(np.int32); o += P
+    points_np = buf[o:o + P * d].reshape(P, d); o += P * d
+    centers_np, radii_np = [], []
+    for l in range(L + 1):
+        centers_np.append(buf[o:o + (2**l) * d].reshape(2**l, d)); o += (2**l) * d
+    for l in range(L + 1):
+        radii_np.append(buf[o:o + 2**l]); o += 2**l
+    return BalancedTree(
+        perm=perm_np,
+        points=points,
+        pad=pad,
+        leafsize=ls,
+        levels=L,
+        centers=list(centers),
+        radii=list(radii),
+        centers_np=list(centers_np),
+        radii_np=list(radii_np),
+        points_np=points_np,
     )
