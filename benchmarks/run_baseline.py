@@ -131,11 +131,12 @@ def bench_dense_mvm():
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     G = Gramian(MaternP(2), x)
     record("dense_mvm_maternp2_n16384_d3", timed(G._matvec, a), 0.585,
-           work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1))
-    Gx = Gramian(MaternP(2), x, use_pallas="never")
-    record("dense_mvm_maternp2_n16384_d3_xla", timed(Gx._matvec, a),
+           work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1),
+           "auto path (VPU-bound at d=3 -> XLA expansion)")
+    Gp = Gramian(MaternP(2), x, use_pallas="always")
+    record("dense_mvm_maternp2_n16384_d3_pallas", timed(Gp._matvec, a),
            0.585, work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1),
-           "XLA path (no pallas)")
+           "fused pallas (loses to XLA below the d crossover)")
 
 
 def bench_dense_sweep():
@@ -342,10 +343,12 @@ def bench_sparse():
     rng = np.random.default_rng(0)
     n, d = 16384, 32
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    sparse_gramian(EQ(), x, tol=1e-6)  # warm the build jits
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     t0 = time.perf_counter()
     S, ratio = sparse_gramian(EQ(), x, tol=1e-6)
     record("sparsify_build_eq_n16384_d32", time.perf_counter() - t0, 7.21,
-           note=f"nnz ratio {ratio:.4f} (ref 0.0022)")
+           note=f"warm build; nnz ratio {ratio:.4f} (ref 0.0022)")
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     record("sparse_mvm_eq_n16384_d32", tile_ell_chained(S, a), 0.45e-3,
            work_sparse_mvm(S))
@@ -356,20 +359,59 @@ def bench_sparse():
     n2 = 250_000
     x2 = jnp.asarray(rng.standard_normal((n2, 2)), dtype=jnp.float32)
     k2 = Lengthscale(EQ(), 0.01)
+    sparse_gramian(k2, x2, tol=1e-6, format="lazy")  # warm the build jits
+    x2 = jnp.asarray(rng.standard_normal((n2, 2)), dtype=jnp.float32)
     t0 = time.perf_counter()
     S2, r2 = sparse_gramian(k2, x2, tol=1e-6, format="lazy")
     record("sparsify_tree_build_n250k_d2", time.perf_counter() - t0,
-           float("nan"), note=f"lazy leaf-tile operator, nnz ratio {r2:.1e}")
+           float("nan"),
+           note=f"warm build; lazy leaf-tile operator, nnz ratio {r2:.1e}")
     a2 = jnp.asarray(rng.standard_normal(n2), dtype=jnp.float32)
     record("sparse_lazy_mvm_n250k_d2", timed(S2._matvec, a2, iters=(2, 10)),
            float("nan"),
            note=f"recomputed kernel tiles, nnz {S2.nnz:.2e}")
 
 
+def bench_logml():
+    """Structure-aware log-marginal likelihood (no reference numbers —
+    the reference has no logML implementation at all; these rows document
+    the lazy/structured scaling the factorize policy enables)."""
+    import jax.random as jr
+
+    from cfjax.gp import log_marginal_likelihood
+    from cfjax.kernels import EQ, separable
+    from cfjax.utils.grids import LazyGrid
+
+    rng = np.random.default_rng(0)
+    # exact Kronecker logML on a 64^3 = 262144-point grid
+    gs = tuple(np.linspace(0, 1, 64) for _ in range(3))
+    xg = LazyGrid(gs)
+    yk = jnp.asarray(rng.standard_normal(64**3), dtype=jnp.float32)
+    k3 = separable("^", EQ(), 3)
+    f = jax.jit(lambda yy: log_marginal_likelihood(k3, xg, yy, noise=1e-2))
+    jax.block_until_ready(f(yk))
+    dt, spr = time_dispatch(f, yk, iters=3)
+    record("logml_kronecker_eq3_64cubed", dt, float("nan"),
+           note="exact per-factor eigendecomposition, n=262144 never "
+                "materialized", spread=spr)
+    # SLQ + CG logML in the lazy regime (n = 65536, d = 3)
+    n, d = 65536, 3
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    yv = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    g = jax.jit(lambda yy: log_marginal_likelihood(
+        EQ(), x, yy, noise=1e-1, probes=8, lanczos_iters=32,
+        solve_tol=1e-4, solve_maxiter=200))
+    jax.block_until_ready(g(yv))
+    dt, spr = time_dispatch(g, yv, iters=2)
+    record("logml_slq_eq_n65536_d3", dt, float("nan"),
+           note="stochastic Lanczos quadrature + CG, O(1) memory, "
+                "jax.grad-able (Hutchinson custom VJP)", spread=spr)
+
+
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else [
         "dense_mvm", "dense_sweep", "toeplitz", "kronecker", "gradient",
-        "hessian", "barneshut", "sparse",
+        "hessian", "barneshut", "sparse", "logml",
     ]
     force_sync_dispatch()
     t_all = time.time()

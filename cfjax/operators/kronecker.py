@@ -16,6 +16,25 @@ import numpy as np
 from .linop import DenseOperator, LinearOperator
 
 
+@jax.jit
+def _kron_matvec_einsum(mats, v):
+    """(A_1 ⊗ ... ⊗ A_k) v as a chain of per-mode einsum contractions.
+    Unlike moveaxis+reshape (which materializes a transposed copy of the
+    whole tensor per mode), each einsum is one dot_general whose layout
+    shuffling XLA folds into the matmul itself."""
+    lo = "abcdefgh"
+    hi = "ABCDEFGH"
+    dims = [A.shape[1] for A in mats]
+    X = v.reshape(dims)
+    subs = list(lo[: len(mats)])
+    for i, A in enumerate(mats):
+        out = subs.copy()
+        out[i] = hi[i]
+        X = jnp.einsum(f"{hi[i]}{lo[i]},{''.join(subs)}->{''.join(out)}", A, X)
+        subs = out
+    return X.reshape(-1)
+
+
 def _dims(factors):
     return [f.shape for f in factors]
 
@@ -61,7 +80,27 @@ class KroneckerOperator(LinearOperator):
             X = jnp.moveaxis(Y2.reshape(shp[:-1] + (Y2.shape[-1],)), -1, i)
         return X.reshape(-1)
 
+    def _dense_mats(self):
+        """Cached dense factor matrices when every factor is small enough
+        to materialize (m_i^2 floats — for 128^3 grids that's 64 KB per
+        factor). Enables the fused einsum mode chain."""
+        if not hasattr(self, "_dense_cache"):
+            mats = []
+            for f in self.factors:
+                if isinstance(f, (jnp.ndarray, np.ndarray)):
+                    mats.append(jnp.asarray(f))
+                elif max(f.shape) <= 2048:
+                    mats.append(f.todense())
+                else:
+                    mats = None
+                    break
+            self._dense_cache = mats
+        return self._dense_cache
+
     def _matvec(self, v):
+        mats = self._dense_mats()
+        if mats is not None:
+            return _kron_matvec_einsum(tuple(mats), v)
         return self._apply_modes(v, list(self.factors))
 
     def _matmat(self, V):

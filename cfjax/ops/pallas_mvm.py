@@ -53,6 +53,8 @@ def profile_vpu_cost(k) -> float:
         "EQ": 9, "RQ": 11, "Cauchy": 6, "InverseMultiQuadratic": 8,
         "Exp": 14, "GammaExp": 20, "MaternP": 35, "Dot": 2, "Line": 3,
         "Polynomial": 6, "ExponentialDot": 10, "Power": 6,
+        # thin wrappers / combinators: cheap glue around the inner profile
+        "Lengthscale": 3, "Sum": 3, "Product": 3, "Chained": 6,
     }
     base = table.get(name, 24.0)
     inner = [getattr(k, a) for a in ("k", "args") if hasattr(k, a)]

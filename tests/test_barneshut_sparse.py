@@ -31,6 +31,30 @@ def test_tree_build(rng):
         assert np.all(dist <= r + 1e-12)
 
 
+def test_tree_build_device_path(rng):
+    """The jitted device build (used on TPU backends) must produce a
+    valid tree: a true permutation, covering radii at every level, and
+    host mirrors that match the device arrays (they come back through
+    one packed bitcast transfer)."""
+    y = rng.standard_normal((5000, 3)).astype(np.float32)
+    t = build_tree(y, leafsize=16, method="device")
+    P = t.points_np.shape[0]
+    assert sorted(t.perm.tolist()) == list(range(P))
+    assert t.perm.dtype == np.int32
+    np.testing.assert_allclose(np.asarray(t.points), t.points_np, rtol=0)
+    for l in range(t.levels + 1):
+        nl = 2**l
+        pts = t.points_np.reshape(nl, P // nl, -1)
+        c, r = t.centers_np[l], t.radii_np[l]
+        dist = np.sqrt(((pts - c[:, None, :]) ** 2).sum(-1)).max(1)
+        assert np.all(dist <= r + 1e-5)
+        np.testing.assert_allclose(np.asarray(t.centers[l]), c, rtol=0)
+        np.testing.assert_allclose(np.asarray(t.radii[l]), r, rtol=0)
+    # padded slots replicate the last original point
+    assert np.all(t.perm < 5000) or np.all(
+        y[-1] == t.points_np[np.nonzero(t.perm >= 5000)[0][0]])
+
+
 @pytest.mark.parametrize("wclass", ["ones", "rand", "signed", "randn"])
 def test_bh_theta_sweep(rng, wclass):
     n, d = 400, 2
