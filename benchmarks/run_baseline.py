@@ -78,12 +78,20 @@ def timed(step, v0, **kw):
 
 # ---------------------------------------------------------------- work models
 
-def work_dense_mvm(n, m, d, kprof_vpu=10, kprof_trans=1):
+def work_dense_mvm(n, m, d, prof_slots=4.2):
     """Matmul-expansion iso/dot MVM: x@y.T (MXU) + profile eval (VPU)
     + K@a (MXU). Minimum HBM: points + vectors (K tiles stay on-chip in
-    the ideal fused kernel; XLA's lax.map path spills block×m tiles)."""
+    the ideal fused kernel; XLA's lax.map path spills block×m tiles).
+
+    VPU accounting is CALIBRATED (roofline.SLOT, calibrate_vpu.py):
+    per-entry slots = measured mvm_base (distance tile + contraction,
+    12.4) + the profile's measured slot cost. prof_slots per kernel:
+      EQ exp+mul = 4.2;  MaternP(2) profile_value = rsqrt 6 + exp 3.2 +
+      7 ops = 16.2 (the guarded AD path would be ~27)."""
+    from cfjax.utils.roofline import SLOT
+
     return Work(mxu=2 * n * m * d + 2 * n * m,
-                vpu=kprof_vpu * n * m, trans=kprof_trans * n * m,
+                vpu_slots=(SLOT["mvm_base"] + prof_slots) * n * m,
                 hbm_bytes=4 * ((n + m) * d + n + m))
 
 
@@ -99,11 +107,19 @@ def work_kron_mvm(ms):
     return Work(mxu=2 * n * sum(ms), hbm_bytes=4 * (2 * n + sum(m * m for m in ms)))
 
 
-def work_gradient_mvm(n, d, terms=1):
+def work_gradient_mvm(n, d, terms=1, prof_slots=3.2):
     """Closed-form iso/dot gradient block MVM: 4 matmuls of (n,d)x(d,n)
-    shape per term (r^T a expansions) → 8*n²*d MXU FLOPs, + O(n²) VPU."""
-    return Work(mxu=8 * n * n * d * terms, vpu=12 * n * n * terms,
-                trans=n * n * terms, hbm_bytes=4 * (2 * n * d + n * n // 256))
+    shape per term (r^T a expansions) → 8*n²*d useful MXU FLOPs.
+
+    mxu_exec: the MXU runs each matmul's K/N dims at 128 granularity, so
+    for d < 128 the executed FLOPs are 8*n²*128 — that (not the VPU) is
+    the binding bound for e.g. the d=16 driver config (87 µs at n=4096).
+    VPU: per block-pair ~2 derivative evals off one shared exp (prof) +
+    ~9 elementwise ops (W, rowsums, epilogue)."""
+    return Work(mxu=8 * n * n * d * terms,
+                mxu_exec=8 * n * n * max(d, 128) * terms,
+                vpu_slots=(prof_slots + 9) * n * n * terms,
+                hbm_bytes=4 * (2 * n * d + n * n // 256))
 
 
 def work_hessian_mvm(n, d):
@@ -131,11 +147,11 @@ def bench_dense_mvm():
     a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     G = Gramian(MaternP(2), x)
     record("dense_mvm_maternp2_n16384_d3", timed(G._matvec, a), 0.585,
-           work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1),
+           work_dense_mvm(n, n, d, prof_slots=16.2),
            "auto path (VPU-bound at d=3 -> XLA expansion)")
     Gp = Gramian(MaternP(2), x, use_pallas="always")
     record("dense_mvm_maternp2_n16384_d3_pallas", timed(Gp._matvec, a),
-           0.585, work_dense_mvm(n, n, d, kprof_vpu=14, kprof_trans=1),
+           0.585, work_dense_mvm(n, n, d, prof_slots=16.2),
            "fused pallas (loses to XLA below the d crossover)")
 
 
@@ -152,7 +168,7 @@ def bench_dense_sweep():
         a = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
         G = Gramian(EQ(), x)
         record(f"northstar_dense_mvm_eq_n16384_d{d}", timed(G._matvec, a),
-               float("nan"), work_dense_mvm(n, n, d, kprof_vpu=6),
+               float("nan"), work_dense_mvm(n, n, d, prof_slots=4.2),
                "north-star dense path")
 
 
@@ -387,7 +403,7 @@ def bench_logml():
     gs = tuple(np.linspace(0, 1, 64) for _ in range(3))
     xg = LazyGrid(gs)
     yk = jnp.asarray(rng.standard_normal(64**3), dtype=jnp.float32)
-    k3 = separable("^", EQ(), 3)
+    k3 = separable("^", EQ(), d=3)
     f = jax.jit(lambda yy: log_marginal_likelihood(k3, xg, yy, noise=1e-2))
     jax.block_until_ready(f(yk))
     dt, spr = time_dispatch(f, yk, iters=3)
@@ -429,8 +445,12 @@ def main():
         "non-separable slopes are marked invalid, never published as",
         "0.00x ms — see cfjax/utils/timing.py). Each row carries analytic",
         "work (cfjax/utils/roofline.py): achieved TFLOP/s, the binding",
-        "resource (MXU 197 TF/s bf16 | VPU ~12 TF/s | HBM 819 GB/s) and",
+        "resource (MXU 197 TF/s bf16 at 128-granular K/N tiles | VPU",
+        "6.1e12 lane-op slots/s with per-op slot costs MEASURED in fused",
+        "context, benchmarks/calibrate_vpu.py | HBM 819 GB/s) and",
         "%-of-roofline; rows implying > hardware peak are rejected.",
+        "'MXU-pad' = bound by the 128-granularity the MXU imposes on",
+        "small-d matmuls, not by useful math.",
         "",
         "| config | cfjax TPU | reference | speedup | TFLOP/s | roofline | note |",
         "|---|---|---|---|---|---|---|",

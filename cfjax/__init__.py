@@ -8,7 +8,7 @@ blocks, Barnes-Hut, sparsification), on a composable kernel algebra.
 """
 
 from . import kernels
-from .config import DEFAULT, Config
+from .config import Config, set_config
 from .kernels import *  # noqa: F401,F403
 
 __version__ = "0.1.0"

@@ -31,17 +31,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT
+from .. import config as _config
 from ..kernels.base import InputTrait, input_trait
 from ..operators.linop import LinearOperator
 from .tree import BalancedTree, build_tree
 
 
 def _sqd(xb, c):
-    return jnp.maximum(
-        jnp.sum(xb * xb, 1)[:, None] + jnp.sum(c * c, 1)[None, :] - 2 * (xb @ c.T),
-        0.0,
-    )
+    from ..ops.tiles import sqdist_tile
+
+    return sqdist_tile(xb, c)
 
 
 @partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "order"))
@@ -131,12 +130,7 @@ def bh_matvec(
 
             # dense far-field for all targets in the group
             comc = com[cand]                     # (2F, d)
-            D2 = jnp.maximum(
-                jnp.sum(xt * xt, 1)[:, None]
-                + jnp.sum(comc * comc, 1)[None, :]
-                - 2 * (xt @ comc.T),
-                0.0,
-            )                                    # (G, 2F)
+            D2 = _sqd(xt, comc)                  # (G, 2F)
             if order >= 2:
                 f0, f1, f2 = _prof_d2(D2)
             else:
@@ -163,7 +157,7 @@ def bh_matvec(
         pts = leaf_pts[fr].reshape(F * leafsize, d)
         wts = jnp.where(fv[:, None], leaf_w[fr], 0.0).reshape(F * leafsize)
         D2l = _sqd(xt, pts)
-        acc = acc + k.profile(D2l) @ wts
+        acc = acc + k.profile_value(D2l) @ wts
         return acc, overflow
 
     # chunk the group axis so per-chunk temporaries (chunk x G x 2F) stay
@@ -249,9 +243,9 @@ class BarnesHutFactorization(LinearOperator):
         xp = as_points(x)
         yp = xp if y is None else as_points(y)
         self._same = y is None
-        self.theta = DEFAULT.barneshut_theta if theta is None else theta
+        self.theta = _config.DEFAULT.barneshut_theta if theta is None else theta
         self.order = order
-        leafsize = DEFAULT.barneshut_leafsize if leafsize is None else leafsize
+        leafsize = _config.DEFAULT.barneshut_leafsize if leafsize is None else leafsize
         self.tree = build_tree(np.asarray(yp), leafsize)
         self.m = yp.shape[0]
         self.n = xp.shape[0]

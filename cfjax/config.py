@@ -28,6 +28,32 @@ class Config:
     # iterative solver defaults
     cg_maxiter: int = 1000
     cg_tol: float = 1e-8
+    # MXU input precision for distance/inner-product tiles. TPU matmuls
+    # ingest f32 at bf16 by default, which puts ~7e-3 relative error on
+    # dense-MVM outputs and can break the PSD-ness Cholesky needs
+    # (measured, scratch r3). "highest" (bf16_6x) restores ~f32 accuracy
+    # at 6x the MXU cost of "default" — the right default for a GP
+    # library; flip per-operator (precision=...) for speed-of-light runs.
+    matmul_precision: str = "highest"
+    # at d <= this, isotropic distance tiles skip the MXU entirely and
+    # use the exact unrolled difference form (no cancellation, no
+    # padded-matmul cost; crossover vs 6-pass matmul measured at d~16)
+    direct_sqdist_max_d: int = 16
 
 
 DEFAULT = Config()
+
+
+def set_config(**kwargs):
+    """Replace global config fields (e.g. set_config(matmul_precision=
+    "default") for speed-of-light bf16 MXU runs). Clears jax's jit caches:
+    jitted kernels read DEFAULT at trace time, so cached executables
+    would otherwise keep the old values."""
+    global DEFAULT
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    DEFAULT = _dc.replace(DEFAULT, **kwargs)
+    _jax.clear_caches()
+    return DEFAULT

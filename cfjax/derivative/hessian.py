@@ -55,10 +55,14 @@ def _pad_rows(x, block):
     return x.reshape(nb, block, x.shape[1])
 
 
-def _sqdist_tile(xb, y):
-    S = xb @ y.T
-    D = jnp.sum(xb * xb, 1)[:, None] + jnp.sum(y * y, 1)[None, :] - 2 * S
-    return jnp.maximum(D, 0.0)
+from ..ops.tiles import inner_tile as _inner_tile
+from ..ops.tiles import resolve_precision as _rp
+
+
+def _es(subscripts, *ops):
+    """einsum at the configured MXU input precision (ops/tiles.py)."""
+    return jnp.einsum(subscripts, *ops, precision=_rp())
+from ..ops.tiles import sqdist_tile as _sqdist_tile
 
 
 # --------------------------------------------------------------------------
@@ -77,14 +81,14 @@ def hess_matvec_iso(k, x, y, A, block=32):
         D = _sqdist_tile(xb, y)
         _, f1, f2, f3, f4 = elementwise_derivatives(k.profile, D, 4)
         r = xb[:, None, :] - y[None, :, :]          # (B, m, d)
-        w = jnp.einsum("mde,bme->bmd", As, r)       # As r
-        q = 0.5 * jnp.einsum("bmd,bmd->bm", r, w)   # r^T A r
+        w = _es("mde,bme->bmd", As, r)       # As r
+        q = 0.5 * _es("bmd,bmd->bm", r, w)   # r^T A r
         c_rr = 16 * f4 * q + 8 * f3 * trA[None, :]
         c_I = jnp.sum(8 * f3 * q + 4 * f2 * trA[None, :], axis=1)  # (B,)
-        out = jnp.einsum("bm,bmd,bme->bde", c_rr, r, r)
-        wr = jnp.einsum("bm,bmd,bme->bde", 8 * f3, w, r)
+        out = _es("bm,bmd,bme->bde", c_rr, r, r)
+        wr = _es("bm,bmd,bme->bde", 8 * f3, w, r)
         out = out + wr + jnp.swapaxes(wr, 1, 2)
-        out = out + jnp.einsum("bm,mde->bde", 4 * f2, As)
+        out = out + _es("bm,mde->bde", 4 * f2, As)
         out = out + c_I[:, None, None] * jnp.eye(d, dtype=out.dtype)[None]
         return out
 
@@ -97,15 +101,15 @@ def hess_matvec_dot(k, x, y, A, block=32):
     n, d = x.shape
     As = A + jnp.swapaxes(A, 1, 2)
     def body(xb):
-        S = xb @ y.T
+        S = _inner_tile(xb, y)
         _, f1, f2, f3, f4 = elementwise_derivatives(k.profile, S, 4)
-        w = jnp.einsum("mde,be->bmd", As, xb)       # As p
-        q = 0.5 * jnp.einsum("be,bme->bm", xb, w)   # p^T A p
-        out = jnp.einsum("bm,md,me->bde", f4 * q, y, y)
-        zw = jnp.einsum("bm,bmd,me->bde", f3, w, y)
+        w = _es("mde,be->bmd", As, xb)       # As p
+        q = 0.5 * _es("be,bme->bm", xb, w)   # p^T A p
+        out = _es("bm,md,me->bde", f4 * q, y, y)
+        zw = _es("bm,bmd,me->bde", f3, w, y)
         out = out + jnp.swapaxes(zw, 1, 2) + zw
         # careful: (As p) z^T has row index from w -> 'bmd' x 'me' -> (b,d,e)
-        out2 = jnp.einsum("bm,mde->bde", f2, As)
+        out2 = _es("bm,mde->bde", f2, As)
         return out + out2
 
     out = lax.map(body, _pad_rows(x, block))
@@ -122,7 +126,7 @@ def hess_matvec_generic(k, x, y, A, block=8):
             yj
         )  # (d, d, d, d) indexed [i, j, k, l]... jacfwd appends axes
         # first jacfwd gives [i,j,k]; second [i,j,k,l]
-        return jnp.einsum("ijkl,kl->ij", T, Aj)
+        return _es("ijkl,kl->ij", T, Aj)
 
     def body(xb):
         def one_row(xi):
@@ -152,9 +156,9 @@ def vgh_matvec_iso(k, x, y, a0, A1, A2, block=32):
         D = _sqdist_tile(xb, y)
         f0, f1, f2, f3, f4 = elementwise_derivatives(k.profile, D, 4)
         r = xb[:, None, :] - y[None, :, :]              # (B, m, d)
-        rA1 = jnp.einsum("bmd,md->bm", r, A1)           # <r, A1>
-        w2 = jnp.einsum("mde,bme->bmd", As2, r)         # As2 r
-        q2 = 0.5 * jnp.einsum("bmd,bmd->bm", r, w2)     # r^T A2 r
+        rA1 = _es("bmd,md->bm", r, A1)           # <r, A1>
+        w2 = _es("mde,bme->bmd", As2, r)         # As2 r
+        q2 = 0.5 * _es("bmd,bmd->bm", r, w2)     # r^T A2 r
 
         # b0 = sum_j f0 a0 - 2 f1 <r,A1> + 4 f2 q2 + 2 f1 trA2
         b0 = jnp.sum(
@@ -166,9 +170,9 @@ def vgh_matvec_iso(k, x, y, a0, A1, A2, block=32):
         #      + 8 f3 q2 r + 4 f2 (As2 r + trA2 r)
         c_r = 2 * f1 * a0[None, :] - 4 * f2 * rA1 + 8 * f3 * q2 + 4 * f2 * trA2[None, :]
         B1 = (
-            jnp.einsum("bm,bmd->bd", c_r, r)
+            _es("bm,bmd->bd", c_r, r)
             - 2 * (f1 @ A1)
-            + 4 * jnp.einsum("bm,bmd->bd", f2, w2)
+            + 4 * _es("bm,bmd->bd", f2, w2)
         )
 
         # B2 = sum_j a0 (4 f2 r r^T + 2 f1 I)
@@ -184,12 +188,12 @@ def vgh_matvec_iso(k, x, y, a0, A1, A2, block=32):
             2 * f1 * a0[None, :] - 4 * f2 * rA1 + 8 * f3 * q2 + 4 * f2 * trA2[None, :],
             axis=1,
         )
-        B2 = jnp.einsum("bm,bmd,bme->bde", c_rr, r, r)
-        A1r = jnp.einsum("bm,md,bme->bde", 4 * f2, A1, r)  # A1 r^T weighted
+        B2 = _es("bm,bmd,bme->bde", c_rr, r, r)
+        A1r = _es("bm,md,bme->bde", 4 * f2, A1, r)  # A1 r^T weighted
         B2 = B2 - A1r - jnp.swapaxes(A1r, 1, 2)
-        wr = jnp.einsum("bm,bmd,bme->bde", 8 * f3, w2, r)
+        wr = _es("bm,bmd,bme->bde", 8 * f3, w2, r)
         B2 = B2 + wr + jnp.swapaxes(wr, 1, 2)
-        B2 = B2 + jnp.einsum("bm,mde->bde", 4 * f2, As2)
+        B2 = B2 + _es("bm,mde->bde", 4 * f2, As2)
         B2 = B2 + c_I[:, None, None] * I[None]
         return b0, B1, B2
 
@@ -216,9 +220,9 @@ def vgh_matvec_generic(k, x, y, a0, A1, A2, block=4):
         GH = jax.jacfwd(jax.jacfwd(lambda y_: jax.grad(lambda x_: k(x_, y_))(xi)))(yj)
         HG = jax.jacfwd(lambda y_: jax.hessian(lambda x_: k(x_, y_))(xi))(yj)
         HH = jax.jacfwd(jax.jacfwd(lambda y_: jax.hessian(lambda x_: k(x_, y_))(xi)))(yj)
-        b0 = kv * a0j + gy @ A1j + jnp.einsum("kl,kl->", VH, A2j)
-        B1 = gx * a0j + GG @ A1j + jnp.einsum("ikl,kl->i", GH, A2j)
-        B2 = HV * a0j + jnp.einsum("ijl,l->ij", HG, A1j) + jnp.einsum(
+        b0 = kv * a0j + gy @ A1j + _es("kl,kl->", VH, A2j)
+        B1 = gx * a0j + GG @ A1j + _es("ikl,kl->i", GH, A2j)
+        B2 = HV * a0j + _es("ijl,l->ij", HG, A1j) + _es(
             "ijkl,kl->ij", HH, A2j
         )
         return b0, B1, B2

@@ -29,6 +29,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.tiles import inner_tile as _inner_tile
+from ..ops.tiles import matmul_p as _mm
+
 from ..kernels.algebra import Power, Product, Sum
 from ..kernels.base import InputTrait, Kernel, input_trait
 from ..kernels.mercer import NeuralNetwork
@@ -131,15 +134,15 @@ def grad_matvec_pair(k, x, y, A, block=128):
     T = jnp.sum(y * A, axis=1)  # <z_j, A_j>
 
     def body(xb):
-        S = xb @ y.T
+        S = _inner_tile(xb, y)
         nx_ = jnp.sum(xb * xb, axis=1)
         fs, fss, fsnx, fsny, fnxny = _tile_eval(
             [Fs, Fss, Fsnx, Fsny, Fnxny], S, nx_, ny_
         )
-        P = xb @ A.T
+        P = _inner_tile(xb, A)
         Wz = fss * P + 2 * fsny * T[None, :]
         Wp = 2 * fsnx * P + 4 * fnxny * T[None, :]
-        return fs @ A + Wz @ y + jnp.sum(Wp, axis=1)[:, None] * xb
+        return _mm(fs, A) + _mm(Wz, y) + jnp.sum(Wp, axis=1)[:, None] * xb
 
     out = lax.map(body, _pad_rows(x, block))
     return out.reshape(-1, x.shape[1])[: x.shape[0]]
@@ -153,12 +156,12 @@ def valgrad_matvec_pair(k, x, y, a0, A, block=128):
     T = jnp.sum(y * A, axis=1)
 
     def body(xb):
-        S = xb @ y.T
+        S = _inner_tile(xb, y)
         nx_ = jnp.sum(xb * xb, axis=1)
         f, fs, fss, fsnx, fsny, fnxny, fnx, fny = _tile_eval(
             [F, Fs, Fss, Fsnx, Fsny, Fnxny, Fnx, Fny], S, nx_, ny_
         )
-        P = xb @ A.T
+        P = _inner_tile(xb, A)
         # b0 = sum_j [ F a0 + <grad_y k, A_j> ],  grad_y k = F_s p + 2 F_ny z
         b0 = f @ a0 + jnp.sum(fs * P, axis=1) + 2 * jnp.sum(fny * T[None, :], axis=1)
         # B1 = sum_j [ grad_x k a0_j + Block A_j ], grad_x k = F_s z + 2 F_nx p
@@ -166,7 +169,7 @@ def valgrad_matvec_pair(k, x, y, a0, A, block=128):
         Wp_sum = jnp.sum(
             2 * fnx * a0[None, :] + 2 * fsnx * P + 4 * fnxny * T[None, :], axis=1
         )
-        B1 = fs @ A + Wz @ y + Wp_sum[:, None] * xb
+        B1 = _mm(fs, A) + _mm(Wz, y) + Wp_sum[:, None] * xb
         return jnp.concatenate([b0[:, None], B1], axis=1)
 
     out = lax.map(body, _pad_rows(x, block))

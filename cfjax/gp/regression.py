@@ -81,7 +81,7 @@ def log_marginal_likelihood(kernel, x, y, noise: float = 1e-6,
         custom VJP (cfjax.operators.slq).
 
     Differentiable in the kernel pytree and `noise` on every path."""
-    from ..config import DEFAULT
+    from .. import config as _config
     from ..operators.kronecker import KroneckerOperator
     from ..operators.toeplitz import CirculantOperator
 
@@ -93,10 +93,10 @@ def log_marginal_likelihood(kernel, x, y, noise: float = 1e-6,
         if isinstance(K, CirculantOperator):
             method = "circulant"
         elif isinstance(K, KroneckerOperator) and all(
-            f.shape[0] <= DEFAULT.max_cholesky_size for f in K.factors
+            f.shape[0] <= _config.DEFAULT.max_cholesky_size for f in K.factors
         ):
             method = "kronecker"
-        elif n <= DEFAULT.max_cholesky_size:
+        elif n <= _config.DEFAULT.max_cholesky_size:
             method = "cholesky"
         else:
             method = "slq"

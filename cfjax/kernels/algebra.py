@@ -59,8 +59,16 @@ class Sum(Kernel):
     def trait(self) -> InputTrait:
         return _combined(self.args)
 
+    @property
+    def is_mercer(self) -> bool:
+        # all(ismercer, args) — reference src/properties.jl:19
+        return all(getattr(k, "is_mercer", False) for k in self.args)
+
     def profile(self, s):
         return sum(k.profile(s) for k in self.args)
+
+    def profile_value(self, s):
+        return sum(k.profile_value(s) for k in self.args)
 
     def tau_call(self, tau):
         return sum(k.tau_call(tau) for k in self.args)
@@ -82,10 +90,23 @@ class Product(Kernel):
     def trait(self) -> InputTrait:
         return _combined(self.args)
 
+    @property
+    def is_mercer(self) -> bool:
+        # Schur product theorem: products of PSD kernels are PSD
+        # (reference src/properties.jl:19)
+        return all(getattr(k, "is_mercer", False) for k in self.args)
+
     def profile(self, s):
         out = None
         for k in self.args:
             p = k.profile(s)
+            out = p if out is None else out * p
+        return out
+
+    def profile_value(self, s):
+        out = None
+        for k in self.args:
+            p = k.profile_value(s)
             out = p if out is None else out * p
         return out
 
@@ -115,8 +136,16 @@ class Power(Kernel):
     def trait(self) -> InputTrait:
         return input_trait(self.k)
 
+    @property
+    def is_mercer(self) -> bool:
+        # integer power = repeated Schur product (src/properties.jl:20)
+        return getattr(self.k, "is_mercer", False) and self.p >= 1
+
     def profile(self, s):
         return self.k.profile(s) ** self.p
+
+    def profile_value(self, s):
+        return self.k.profile_value(s) ** self.p
 
     def tau_call(self, tau):
         return self.k.tau_call(tau) ** self.p
@@ -132,6 +161,11 @@ class SeparableProduct(Kernel):
     product of per-dimension gramians."""
 
     args: tuple = ()
+
+    @property
+    def is_mercer(self) -> bool:
+        # tensor product of PSD kernels is PSD (src/properties.jl:19)
+        return all(getattr(k, "is_mercer", False) for k in self.args)
 
     def __call__(self, x, y):
         x = jnp.atleast_1d(jnp.asarray(x))
@@ -149,6 +183,10 @@ class SeparableSum(Kernel):
     (src/algebra.jl:105-123)."""
 
     args: tuple = ()
+
+    @property
+    def is_mercer(self) -> bool:
+        return all(getattr(k, "is_mercer", False) for k in self.args)
 
     def __call__(self, x, y):
         x = jnp.atleast_1d(jnp.asarray(x))

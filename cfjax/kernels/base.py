@@ -109,7 +109,13 @@ class Kernel:
 
     @property
     def is_mercer(self) -> bool:
-        return True
+        """Provably positive semi-definite? Defaults FALSE (reference
+        src/properties.jl:2: `ismercer(::T) where T = false`) so arbitrary
+        callables (LambdaKernel) are never claimed PSD; the zoo base
+        classes and combinators override/propagate it. Downstream this
+        gates `Gramian.is_psd` and hence the Cholesky/CG-vs-MINRES solver
+        routing."""
+        return False
 
     @property
     def is_stationary(self) -> bool:
@@ -134,6 +140,22 @@ class Kernel:
         raise NotImplementedError(
             f"{type(self).__name__} does not define a scalar profile"
         )
+
+    def profile_value(self, s):
+        """Fast VALUE-ONLY profile for the dense MVM hot loops.
+
+        Contract: identical values to `profile` everywhere (including
+        s = 0), but its derivative IN s may be clamped to 0 in an
+        eps-neighbourhood of 0 (where `profile` carries a Taylor guard so
+        jax.grad is exact). Only derivative-free evaluation paths (value
+        MVMs, sparse builds, Barnes-Hut tiles) may use it; everything that
+        differentiates the profile in s — the gradient/Hessian kernel
+        layer via elementwise_derivatives — must use `profile`.
+        Hyperparameter gradients THROUGH value MVMs stay correct: at
+        s = 0 every ds/dtheta factor is itself 0, so a clamped (finite)
+        profile' contributes 0 either way, while an unguarded sqrt would
+        contribute inf * 0 = NaN."""
+        return self.profile(s)
 
     def tau_call(self, tau):
         """Stationary evaluation on the difference tau = x - y."""
@@ -172,7 +194,17 @@ class Kernel:
         return algebra.Power(self, int(p))
 
 
-class IsotropicKernel(Kernel):
+class MercerKernel(Kernel):
+    """Base for kernels that are provably PSD (reference MercerKernel,
+    src/CovarianceFunctions.jl:32-35; `ismercer(::MercerKernel) = true`,
+    src/properties.jl:3)."""
+
+    @property
+    def is_mercer(self) -> bool:
+        return True
+
+
+class IsotropicKernel(MercerKernel):
     @property
     def trait(self) -> InputTrait:
         return InputTrait.ISOTROPIC
@@ -181,13 +213,13 @@ class IsotropicKernel(Kernel):
         return self.profile(jnp.sum(jnp.square(jnp.asarray(tau))))
 
 
-class StationaryKernel(Kernel):
+class StationaryKernel(MercerKernel):
     @property
     def trait(self) -> InputTrait:
         return InputTrait.STATIONARY
 
 
-class DotProductKernel(Kernel):
+class DotProductKernel(MercerKernel):
     @property
     def trait(self) -> InputTrait:
         return InputTrait.DOT
@@ -211,18 +243,3 @@ def input_trait(k) -> InputTrait:
     if isinstance(k, Kernel):
         return k.trait
     return InputTrait.GENERIC
-
-
-def combined_trait(kernels) -> InputTrait:
-    """Combined trait of Sum/Product args: Constants are trait-transparent;
-    heterogeneous traits collapse to GENERIC (src/properties.jl:47-63)."""
-    from .stationary import Constant
-
-    non_const = [k for k in kernels if not isinstance(k, Constant)]
-    if not non_const:
-        return InputTrait.ISOTROPIC
-    t = input_trait(non_const[0])
-    for k in non_const[1:]:
-        if input_trait(k) != t:
-            return InputTrait.GENERIC
-    return t

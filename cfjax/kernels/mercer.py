@@ -45,6 +45,11 @@ Poly = Polynomial
 class Brownian(Kernel):
     """k(x, y) = min(x, y) for scalar inputs (src/mercer.jl:33-37)."""
 
+    @property
+    def is_mercer(self) -> bool:
+        # reference src/mercer.jl: <: MercerKernel
+        return True
+
     def __call__(self, x, y):
         return jnp.minimum(jnp.squeeze(jnp.asarray(x)), jnp.squeeze(jnp.asarray(y)))
 
@@ -55,6 +60,11 @@ class MatrixKernel(Kernel):
 
     A: jnp.ndarray = None
     A_shape: tuple = None
+
+    @property
+    def is_mercer(self) -> bool:
+        # reference src/mercer.jl: <: MercerKernel
+        return True
 
     def __call__(self, i, j):
         i = jnp.asarray(i, dtype=jnp.int32).reshape(())
@@ -73,6 +83,11 @@ class FiniteBasis(Kernel):
     def __post_init__(self):
         if len(self.basis) < 1:
             raise ValueError("basis is empty")
+
+    @property
+    def is_mercer(self) -> bool:
+        # feature-map kernel <f(x), f(y)> is PSD by construction
+        return True
 
     @property
     def rank(self) -> int:
@@ -95,6 +110,11 @@ class NeuralNetwork(Kernel):
     with l(x,y) = <x, y> + sigma."""
 
     sigma: float = 0.0
+
+    @property
+    def is_mercer(self) -> bool:
+        # reference src/mercer.jl: <: MercerKernel
+        return True
 
     def __call__(self, x, y):
         x = jnp.asarray(x)

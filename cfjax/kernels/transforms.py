@@ -33,6 +33,15 @@ class Lengthscale(IsotropicKernel):
         l = jnp.asarray(self.l)
         return self.k.profile(s / (l * l))
 
+    def profile_value(self, s):
+        l = jnp.asarray(self.l)
+        return self.k.profile_value(s / (l * l))
+
+    @property
+    def is_mercer(self) -> bool:
+        # input rescaling preserves PSD (reference: Lengthscale <: IsotropicKernel)
+        return getattr(self.k, "is_mercer", False)
+
 
 @kernel_pytree(static=("n2",))
 class Normed(Kernel):
@@ -48,6 +57,11 @@ class Normed(Kernel):
 
     def tau_call(self, tau):
         return self.k.profile(self.n2(jnp.asarray(tau)))
+
+    @property
+    def is_mercer(self) -> bool:
+        # PSD iff n2 is a genuine squared norm (reference Normed <: StationaryKernel)
+        return getattr(self.k, "is_mercer", False)
 
     def __call__(self, x, y):
         return self.tau_call(jnp.asarray(x) - jnp.asarray(y))
@@ -69,6 +83,11 @@ class ARDKernel(Kernel):
     def tau_call(self, tau):
         t = jnp.asarray(tau) / jnp.asarray(self.l)
         return self.k.profile(jnp.sum(t * t))
+
+    @property
+    def is_mercer(self) -> bool:
+        # per-dim rescaling preserves PSD
+        return getattr(self.k, "is_mercer", False)
 
     def __call__(self, x, y):
         return self.tau_call(jnp.asarray(x) - jnp.asarray(y))
@@ -97,6 +116,11 @@ class Energetic(Kernel):
         t = jnp.atleast_1d(jnp.asarray(tau))
         return self.k.profile(t @ (jnp.asarray(self.A) @ t))
 
+    @property
+    def is_mercer(self) -> bool:
+        # PSD assuming A is PSD (energetic norm)
+        return getattr(self.k, "is_mercer", False)
+
     def __call__(self, x, y):
         return self.tau_call(jnp.asarray(x) - jnp.asarray(y))
 
@@ -121,6 +145,11 @@ class Periodic(Kernel):
     def tau_call(self, tau):
         return self.k.profile(self.warped_sqdist(tau))
 
+    @property
+    def is_mercer(self) -> bool:
+        # MacKay warp = input map u(x); PSD preserved
+        return getattr(self.k, "is_mercer", False)
+
     def __call__(self, x, y):
         return self.tau_call(jnp.asarray(x) - jnp.asarray(y))
 
@@ -142,6 +171,11 @@ class ScaledInputKernel(Kernel):
         U = jnp.asarray(self.U)
         return self.k(U @ jnp.atleast_1d(jnp.asarray(x)), U @ jnp.atleast_1d(jnp.asarray(y)))
 
+    @property
+    def is_mercer(self) -> bool:
+        # k(Ux, Uy) is PSD when k is (provable; stronger than reference's false)
+        return getattr(self.k, "is_mercer", False)
+
 
 @kernel_pytree(static=("u",))
 class Warped(Kernel):
@@ -153,6 +187,11 @@ class Warped(Kernel):
 
     def __call__(self, x, y):
         return self.k(self.u(jnp.asarray(x)), self.u(jnp.asarray(y)))
+
+    @property
+    def is_mercer(self) -> bool:
+        # k(u(x), u(y)) is PSD when k is (provable; stronger than reference's false)
+        return getattr(self.k, "is_mercer", False)
 
 
 @kernel_pytree
@@ -182,8 +221,14 @@ class Chained(Kernel):
     def trait(self) -> InputTrait:
         return input_trait(self.k)
 
+    # is_mercer stays False: f(k) is generally NOT PSD (reference
+    # Chained <: AbstractKernel, ismercer = false)
+
     def profile(self, s):
         return self.f(self.k.profile(s))
+
+    def profile_value(self, s):
+        return self.f(self.k.profile_value(s))
 
     def tau_call(self, tau):
         return self.f(self.k.tau_call(tau))
@@ -202,6 +247,11 @@ class VerticalRescaling(Kernel):
 
     def __call__(self, x, y):
         return self.f(jnp.asarray(x)) * self.k(x, y) * self.f(jnp.asarray(y))
+
+    @property
+    def is_mercer(self) -> bool:
+        # v^T D K D v = (Dv)^T K (Dv) >= 0: PSD when k is
+        return getattr(self.k, "is_mercer", False)
 
 
 def normalize(k: Kernel) -> Kernel:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT
+from .. import config as _config
 from ..kernels.algebra import Product, SeparableProduct, SeparableSum, Sum
 from ..kernels.base import InputTrait, Kernel, MultiKernel, input_trait, kernel_pytree
 from ..kernels.mercer import FiniteBasis
@@ -271,6 +271,9 @@ class _EmbeddedPeriodic(Kernel):
     def profile(self, s):
         return self.k.profile(s)
 
+    def profile_value(self, s):
+        return self.k.profile_value(s)
+
 
 def _uniform_grid_of(x):
     if isinstance(x, UniformGrid):
@@ -281,10 +284,6 @@ def _uniform_grid_of(x):
     if arr.ndim == 1 or (arr.ndim == 2 and arr.shape[1] == 1):
         return detect_uniform_grid(arr)
     return None
-
-
-def _kernel_col(k, x0, pts):
-    return jax.vmap(lambda xj: k(x0, xj))(pts)
 
 
 from functools import partial as _partial
@@ -307,6 +306,10 @@ def explain(k, x, y=None, **opts) -> str:
     parts = [f"{type(op).__name__}{op.shape}"]
     if isinstance(op, Gramian):
         parts.append(f"mvm mode = {op.mode}, block = {op.block}")
+        from ..ops.pallas_mvm import pallas_decline_reason
+
+        why = pallas_decline_reason(op)
+        parts.append("pallas fused MVM" if why is None else f"pallas declined: {why}")
     if isinstance(op, KroneckerOperator):
         parts.append(
             "factors: " + " ⊗ ".join(f"{type(f).__name__}{f.shape}" for f in op.factors)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import DEFAULT
+from .. import config as _config
 from ..kernels.base import InputTrait, Kernel, input_trait
 from .linop import LinearOperator
 
@@ -69,15 +69,15 @@ def kernel_tile(k, xb, y, mode: str, c=None):
       slf : profile(<c, x> - <c, y>)
     and only GENERIC kernels pay the per-pair vmap fallback (the analogue
     of the reference's getindex loop, src/gramian.jl:37-52)."""
+    from ..ops.tiles import inner_tile, sqdist_tile
+
     if mode == "iso":
-        S = xb @ y.T
-        D = jnp.sum(xb * xb, axis=1)[:, None] + jnp.sum(y * y, axis=1)[None, :] - 2 * S
-        return k.profile(jnp.maximum(D, 0))
+        return k.profile_value(sqdist_tile(xb, y))
     if mode == "dot":
-        return k.profile(xb @ y.T)
+        return k.profile_value(inner_tile(xb, y))
     if mode == "slf":
         t = (xb @ c)[:, None] - (y @ c)[None, :]
-        return k.profile(t)
+        return k.profile_value(t)
     # generic per-pair evaluation
     return jax.vmap(lambda xi: jax.vmap(lambda yj: k(xi, yj))(y))(xb)
 
@@ -153,7 +153,7 @@ class Gramian(LinearOperator):
         self.dtype = jnp.result_type(self.x.dtype, float)
         self.mode = mvm_mode(k)
         if block is None:
-            block = DEFAULT.mvm_block_rows if self.mode != "generic" else 128
+            block = _config.DEFAULT.mvm_block_rows if self.mode != "generic" else 128
             if _contains_matern_nu(k):
                 # real-nu Matern profiles expand every tile element by the
                 # Bessel quadrature's node count — keep tiles small
@@ -207,6 +207,6 @@ class Gramian(LinearOperator):
     def diagonal(self):
         if self.mode == "iso":
             z = jnp.zeros((min(self.shape),))
-            return self.k.profile(z)
+            return self.k.profile_value(z)
         n = min(self.shape)
         return jax.vmap(lambda xi, yi: self.k(xi, yi))(self.x[:n], self.y[:n])

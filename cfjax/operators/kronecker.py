@@ -122,10 +122,10 @@ class KroneckerOperator(LinearOperator):
         return KroneckerCholesky(self)
 
     def solve(self, b, **kw):
-        from ..config import DEFAULT
+        from .. import config as _config
         from .solvers import cg
 
-        if all(f.shape[0] <= DEFAULT.max_cholesky_size for f in self.factors):
+        if all(f.shape[0] <= _config.DEFAULT.max_cholesky_size for f in self.factors):
             return self.cholesky().solve(b)
         from .solvers import cached_jit
 

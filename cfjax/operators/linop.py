@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT
+from .. import config as _config
 
 
 class LinearOperator:
@@ -151,6 +151,16 @@ class DiagonalOperator(LinearOperator):
     @property
     def is_symmetric(self):
         return True
+
+    @property
+    def is_psd(self):
+        # concrete nonnegative diagonals are PSD; tracers stay conservative
+        import numpy as _np
+
+        try:
+            return bool(_np.all(_np.asarray(self.d) >= 0))
+        except Exception:
+            return False
 
     def _matvec(self, v):
         return self.d * v

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import DEFAULT
+from .. import config as _config
 from .linop import LinearOperator
 
 
@@ -27,8 +27,8 @@ def cg(matvec, b, x0=None, tol: float = None, maxiter: int = None, M=None):
 
     matvec: callable v -> A v (pure jnp). Returns (x, info) with
     info = (iterations, final residual norm)."""
-    tol = DEFAULT.cg_tol if tol is None else tol
-    maxiter = DEFAULT.cg_maxiter if maxiter is None else maxiter
+    tol = _config.DEFAULT.cg_tol if tol is None else tol
+    maxiter = _config.DEFAULT.cg_maxiter if maxiter is None else maxiter
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     Minv = (lambda v: v) if M is None else M
@@ -65,8 +65,8 @@ def minres(matvec, b, x0=None, tol: float = None, maxiter: int = None):
     """MINRES for symmetric (possibly indefinite) operators.
 
     Standard Lanczos + Givens QR recurrence as a lax.while_loop."""
-    tol = DEFAULT.cg_tol if tol is None else tol
-    maxiter = DEFAULT.cg_maxiter if maxiter is None else maxiter
+    tol = _config.DEFAULT.cg_tol if tol is None else tol
+    maxiter = _config.DEFAULT.cg_maxiter if maxiter is None else maxiter
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
@@ -138,15 +138,28 @@ def minres(matvec, b, x0=None, tol: float = None, maxiter: int = None):
 
 class CholeskyFactorization:
     """Dense Cholesky of a lazy operator (reference `cholesky`/`factorize`
-    small-n branch, src/gramian.jl:193-213). Adds a tol-scaled jitter to
-    stand in for the reference's pivoted tolerance handling."""
+    small-n branch, src/gramian.jl:193-213). A tol-scaled jitter stands in
+    for the reference's pivoted tolerance handling, but ONLY when the
+    clean factorization fails (an unconditional jitter perturbed every
+    small solve by ~default_tol — caught by /verify round 3)."""
 
     def __init__(self, op: LinearOperator, jitter: float = None):
         A = op.todense() if isinstance(op, LinearOperator) else jnp.asarray(op)
         n = A.shape[0]
-        jitter = DEFAULT.default_tol if jitter is None else jitter
+        jitter = _config.DEFAULT.default_tol if jitter is None else jitter
         scale = jnp.mean(jnp.diagonal(A))
-        self.L = jnp.linalg.cholesky(A + (jitter * scale) * jnp.eye(n, dtype=A.dtype))
+        L0 = jnp.linalg.cholesky(A)
+        shift = (jitter * scale) * jnp.eye(n, dtype=A.dtype)
+        if any(isinstance(l, jax.core.Tracer) for l in (A,)):
+            bad = jnp.any(jnp.isnan(L0))
+            L1 = jnp.linalg.cholesky(A + shift)
+            self.L = jnp.where(bad, L1, L0)
+        else:
+            import numpy as _np
+
+            if bool(_np.any(_np.isnan(_np.asarray(L0)))):
+                L0 = jnp.linalg.cholesky(A + shift)
+            self.L = L0
         self.shape = A.shape
 
     def solve(self, b):
@@ -160,7 +173,7 @@ class CholeskyFactorization:
 def factorize(op: LinearOperator, max_cholesky_size: int = None):
     """Policy: dense Cholesky below the size threshold, else the lazy
     operator itself (solved iteratively) — src/gramian.jl:201-213."""
-    mcs = DEFAULT.max_cholesky_size if max_cholesky_size is None else max_cholesky_size
+    mcs = _config.DEFAULT.max_cholesky_size if max_cholesky_size is None else max_cholesky_size
     n = op.shape[0]
     if n <= mcs and op.is_symmetric:
         return CholeskyFactorization(op)
@@ -187,7 +200,7 @@ def solve(op, b, tol: float = None, maxiter: int = None, method: str = "auto"):
         return op.solve(b)
     b = jnp.asarray(b)
     if method == "auto":
-        if op.is_symmetric and op.shape[0] <= DEFAULT.max_cholesky_size and op.is_psd:
+        if op.is_symmetric and op.shape[0] <= _config.DEFAULT.max_cholesky_size and op.is_psd:
             method = "cholesky" if op.shape[0] <= 4096 else "cg"
         elif op.is_symmetric and op.is_psd:
             method = "cg"

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .linop import LinearOperator
+
 _LANES = 128
 
 
@@ -68,11 +70,15 @@ def _build_groups(Kb: np.ndarray, max_groups: int = 6):
     return bounds
 
 
-class TileEllOperator:
+class TileEllOperator(LinearOperator):
     """Sparse operator in TileELL layout. shape (n, m); rows internally
-    permuted by nnz count (perm/inv fold into the MVM)."""
+    permuted by nnz count (perm/inv fold into the MVM).
 
-    def __init__(self, groups, perm, n, m, nnz, dtype=jnp.float32):
+    A full LinearOperator (VERDICT r3 #7): `.solve`, `.T`, `add_diagonal`
+    compose, closing the reference's sparsify-then-`\\` workflow."""
+
+    def __init__(self, groups, perm, n, m, nnz, dtype=jnp.float32,
+                 symmetric=False):
         # groups: list of (row_start, row_stop, off (B,K,nt,128) int32,
         #                  val (B,K,nt,128) dtype)
         self.groups = groups
@@ -81,13 +87,22 @@ class TileEllOperator:
         self.nt = -(-m // _LANES)
         self.nnz = nnz
         self.dtype = dtype
+        self._sym = symmetric and n == m
 
     @property
     def is_symmetric(self):
-        return False
+        return self._sym
 
-    def __matmul__(self, a):
-        return tile_ell_matvec(self, jnp.asarray(a))
+    def _matvec(self, a):
+        return tile_ell_matvec(self, a)
+
+    def _matmat(self, A):
+        return tile_ell_matvec(self, A)
+
+    def _rmatvec(self, a):
+        if self._sym:
+            return self._matvec(a)
+        return tile_ell_rmatvec(self, a)
 
     def todense(self):
         n, m = self.shape
@@ -215,7 +230,8 @@ def _pack_group(cols, vals, rows_sel, m, B, K, nt, w):
     return (off[:-1].reshape(B, K, nt, L), val[:-1].reshape(B, K, nt, L))
 
 
-def build_tile_ell_device(cols, vals, counts, n, m, max_groups: int = 6):
+def build_tile_ell_device(cols, vals, counts, n, m, max_groups: int = 6,
+                          symmetric=False):
     """Device-side TileELL packing from padded ELL arrays (cols (n,w)
     sorted per row with pad=m, vals (n,w)). Avoids transferring the ELL
     arrays to the host (the tunnel D2H path runs at ~17 MB/s); only the
@@ -249,7 +265,8 @@ def build_tile_ell_device(cols, vals, counts, n, m, max_groups: int = 6):
                         perm_full)
     # pad rows scatter into index n (cropped) — safe when n < n_pad;
     # when n == n_pad there are no pad rows.
-    return TileEllOperator(groups, out_perm, n, m, int(counts.sum()))
+    return TileEllOperator(groups, out_perm, n, m, int(counts.sum()),
+                           symmetric=symmetric)
 
 
 def _slab_matvec_xla(a2, off, val):
@@ -313,6 +330,33 @@ def _tile_ell_matvec_impl(groups_off, groups_val, perm, a, nt, use_pallas):
     out = jnp.zeros((n_pad,), out_sorted.dtype)
     out = out.at[perm].set(out_sorted[: n_pad])
     return out
+
+
+@partial(jax.jit, static_argnames=("nt", "n", "m"))
+def _tile_ell_rmatvec_impl(groups_off, groups_val, perm, starts, a, nt, n, m):
+    """Transpose MVM: scatter val * a[row] into the column tiles. Used
+    only on non-symmetric operators (CGNR least-squares path)."""
+    L = _LANES
+    n_pad = perm.shape[0]
+    ap = jnp.zeros((n_pad + 1,), a.dtype).at[:n_pad].set(
+        jnp.where(perm < n, a[jnp.minimum(perm, n - 1)], 0.0))
+    out2 = jnp.zeros((nt, L), a.dtype)
+    tidx = jnp.arange(nt)
+    for (off, val), r0 in zip(zip(groups_off, groups_val), starts):
+        B, K, ntg, _ = off.shape
+        rows = r0 + (jnp.arange(B * L)).reshape(B, L)
+        av = val * ap[rows][:, None, None, :]          # (B,K,nt,L)
+        t4 = jnp.broadcast_to(tidx[None, None, :, None], off.shape)
+        out2 = out2.at[t4, off].add(av)
+    return out2.reshape(-1)[:m]
+
+
+def tile_ell_rmatvec(S: TileEllOperator, a):
+    groups_off = tuple(g[2] for g in S.groups)
+    groups_val = tuple(g[3] for g in S.groups)
+    starts = tuple(g[0] for g in S.groups)
+    return _tile_ell_rmatvec_impl(groups_off, groups_val, S.perm, starts,
+                                  a, S.nt, S.shape[0], S.shape[1])
 
 
 def tile_ell_matvec(S: TileEllOperator, a):

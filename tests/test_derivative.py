@@ -362,3 +362,50 @@ def test_gradient_chained_iso_stays_fast(rng):
     Kd = dense_gradient_oracle(k, x, x)
     v = rng.standard_normal(n * d)
     np.testing.assert_allclose(np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-7)
+
+
+def test_valuegradient_combinator_routing(rng):
+    """VG gramians of Warped/ScaledInput/VerticalRescaling/heterogeneous
+    sums route through structured operators matching the nested-AD dense
+    oracle (VERDICT r3 #5; reference src/gradient.jl:480-544,
+    src/gradient_algebra.jl:149-202)."""
+    from cfjax.kernels import Constant, ScaledInputKernel, VerticalRescaling, Warped
+    from cfjax.derivative.gradient import (
+        ConstantValueGradientGramian,
+        JacobianConjugatedValueGradientGramian,
+        VerticalRescalingValueGradientGramian,
+    )
+    from cfjax.operators import SumOperator
+
+    n, d = 6, 3
+    x = rand_pts(rng, n, d)
+
+    cases = [
+        (Warped(EQ(), lambda z: jnp.sin(z) + 0.1 * z),
+         JacobianConjugatedValueGradientGramian),
+        (ScaledInputKernel(EQ(), jnp.asarray(rng.standard_normal((d, d)))),
+         JacobianConjugatedValueGradientGramian),
+        (VerticalRescaling(EQ(), lambda z: 1.0 + jnp.sum(z * z)),
+         VerticalRescalingValueGradientGramian),
+        # heterogeneous sum with a generic-trait term -> operator split
+        # (iso+dot sums stay on the pair-family fast path instead)
+        (EQ() + Warped(Dot(), lambda z: jnp.tanh(z)), SumOperator),
+        (Constant(0.7), ConstantValueGradientGramian),
+    ]
+    for k, cls in cases:
+        G = ValueGradientKernel(k).gramian(x)
+        assert isinstance(G, cls), (type(k).__name__, type(G).__name__)
+        Kd = dense_valgrad_oracle(k, x, x)
+        v = rng.standard_normal(n * (d + 1))
+        np.testing.assert_allclose(
+            np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-6, atol=1e-8,
+            err_msg=type(k).__name__,
+        )
+    # iso+dot sum: the (1+d)-block pair family covers it in one pass
+    k = EQ() + Dot()
+    G = ValueGradientKernel(k).gramian(x)
+    assert G.mode == "pair"
+    Kd = dense_valgrad_oracle(k, x, x)
+    v = rng.standard_normal(n * (d + 1))
+    np.testing.assert_allclose(
+        np.asarray(G @ jnp.asarray(v)), Kd @ v, rtol=1e-6, atol=1e-8)

@@ -292,3 +292,29 @@ def test_normed_symmetric_chained(rng):
 
     kc = Chained(lambda v: v**3, RQ(1.5))
     np.testing.assert_allclose(float(kc(a, b)), float(RQ(1.5)(a, b)) ** 3, rtol=1e-12)
+
+
+def test_mercer_propagation():
+    """is_mercer defaults False, True on zoo kernels, propagates all(...)
+    through combinators (reference src/properties.jl:2-3,19-20)."""
+    from cfjax.operators import LambdaKernel
+    from cfjax.kernels.transforms import Warped, ScaledInputKernel
+
+    lam = LambdaKernel(lambda x, y: jnp.sum(x * y))
+    assert not lam.is_mercer
+    for k in all_test_kernels():
+        assert k.is_mercer, f"{type(k).__name__} should be Mercer"
+    assert (EQ() + Dot()).is_mercer
+    assert (EQ() * Dot()).is_mercer
+    assert (EQ() ** 3).is_mercer
+    assert not (EQ() + lam).is_mercer
+    assert not (EQ() * lam).is_mercer
+    assert not Power(lam, 2).is_mercer
+    assert Lengthscale(EQ(), 0.5).is_mercer
+    assert not Lengthscale(lam, 0.5).is_mercer
+    assert Warped(EQ(), lambda z: jnp.sin(z)).is_mercer
+    assert not Warped(lam, lambda z: z).is_mercer
+    assert ScaledInputKernel(EQ(), jnp.eye(2)).is_mercer
+    assert VerticalRescaling(EQ(), lambda x: 1.0 + jnp.sum(x * x)).is_mercer
+    # f(k) is generally not PSD -> stays False (Chained <: AbstractKernel)
+    assert not Chained(jnp.sin, EQ()).is_mercer
