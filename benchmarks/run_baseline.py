@@ -337,6 +337,25 @@ def bench_barneshut():
                  / jnp.linalg.norm(rows3))
     record("barneshut_mvm_theta0.5_n1e6", dt3, float("nan"),
            note=f"rel err {err3:.2e} vs 16 exact rows")
+    # config 5 deliverable: the n=1e6 GP solve (K + sigma^2 I) alpha = y
+    # with the BH matvec inside CG (fixed expansion centers -> the matvec
+    # is a true linear operator; see bh.matvec_linear)
+    from cfjax.operators.solvers import cg
+
+    sigma2 = 1e-2
+    yv = jnp.sin(x3[:, 0]) + 0.1 * w3
+    Kmv = lambda v: F3.matvec_linear(v) + sigma2 * v
+    solve = jax.jit(lambda b: cg(Kmv, b, tol=1e-3, maxiter=100))
+    alpha, (it0, res0) = solve(yv)           # compile + run
+    jax.block_until_ready(alpha)
+    t0 = time.perf_counter()
+    alpha, (iters5, res5) = solve(yv)
+    jax.block_until_ready(alpha)
+    dt5 = time.perf_counter() - t0
+    relres = float(res5) / float(jnp.linalg.norm(yv))
+    record("barneshut_cg_gp_solve_n1e6", dt5, float("nan"),
+           note=f"{int(iters5)} CG iters to rel res {relres:.1e} "
+                f"(sigma^2 {sigma2}, theta 0.5); BASELINE config 5")
 
 
 def tile_ell_chained(S, a):
@@ -348,7 +367,9 @@ def tile_ell_chained(S, a):
     go = tuple(g[2] for g in S.groups)
     gv = tuple(g[3] for g in S.groups)
     n = S.shape[0]
-    step = lambda v, *c: _tile_ell_matvec_impl(c[0], c[1], c[2], v, S.nt, True)[:n]
+    crops = tuple(g[1] - g[0] for g in S.groups)
+    step = lambda v, *c: _tile_ell_matvec_impl(c[0], c[1], c[2], v, S.nt,
+                                               True, crops)[:n]
     return timed(step, a, consts=(go, gv, S.perm))
 
 

@@ -43,7 +43,8 @@ def _sqd(xb, c):
     return sqdist_tile(xb, c)
 
 
-@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "order"))
+@partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "order",
+                                   "fixed_centers"))
 def bh_matvec(
     k,
     xg,            # (ngroups, G, d) grouped targets (tree order)
@@ -58,6 +59,7 @@ def bh_matvec(
     leafsize: int,
     max_open: int,
     order: int = 1,
+    fixed_centers: bool = False,
 ):
     """Approximate b = K w, returned in grouped (ngroups, G) layout.
 
@@ -67,6 +69,15 @@ def bh_matvec(
         + 2 f''(s_c) r_c^T Q r_c + f'(s_c) tr Q,  r_c = x - c
     (the analogue of the reference's PowersArray higher-order scaffold,
     src/taylor.jl:62-85).
+
+    fixed_centers: expand about UNIFORM-weight node centers of mass
+    instead of |w|-weighted ones. The |w|-coms minimize the dipole (and
+    cancel it exactly for w >= 0), but they make the map w -> b weakly
+    NONLINEAR (the expansion point moves with w), which violates the
+    contract CG/MINRES need. With fixed centers every node moment
+    (S = sum w, mu = sum w (y - c), Q = sum w (y-c)(y-c)^T) is linear in
+    w and the whole matvec is a true linear operator — the dipole (and
+    quadrupole at order 2) still corrects the off-center expansion.
 
     Returns (b, overflow); overflow > 0 would mean frontier truncation
     (prevented by the constructor's exact probe)."""
@@ -78,7 +89,7 @@ def bh_matvec(
     # per-level node sums / |w|-coms / dipole (+ optional quadrupole)
     # moments (reshape-reductions)
     S_l, com_l, mu_l, Q_l = [], [], [], []
-    aw = jnp.abs(w)
+    aw = jnp.ones_like(w) if fixed_centers else jnp.abs(w)
     eps = jnp.finfo(w.dtype).eps
     for l in range(levels + 1):
         nl = 2**l
@@ -246,7 +257,10 @@ class BarnesHutFactorization(LinearOperator):
         self.theta = _config.DEFAULT.barneshut_theta if theta is None else theta
         self.order = order
         leafsize = _config.DEFAULT.barneshut_leafsize if leafsize is None else leafsize
-        self.tree = build_tree(np.asarray(yp), leafsize)
+        # pass the device array through: the device tree build consumes it
+        # directly (np.asarray here forced a blocking D2H round trip that
+        # the device build was built to eliminate — ADVICE r2)
+        self.tree = build_tree(yp, leafsize)
         self.m = yp.shape[0]
         self.n = xp.shape[0]
         self.shape = (self.n, self.m)
@@ -269,7 +283,7 @@ class BarnesHutFactorization(LinearOperator):
             self._tgt_perm = t.perm
             self._tgt_P = t.points_np.shape[0]
         else:
-            tt = build_tree(np.asarray(xp), group_size)
+            tt = build_tree(xp, group_size)
             G = tt.leafsize
             ngroups = tt.n_leaves
             self.xg = tt.points_np.reshape(ngroups, G, xp.shape[1])
@@ -356,7 +370,7 @@ class BarnesHutFactorization(LinearOperator):
         vp = jnp.concatenate([v, jnp.zeros((P - self.m,), dtype=v.dtype)])
         return vp[jnp.asarray(t.perm)]
 
-    def _matvec(self, v):
+    def _matvec(self, v, fixed_centers: bool = False):
         t = self.tree
         wp = self._permuted_weights(v)
         flat = jnp.zeros((self._tgt_P,), dtype=self.dtype)
@@ -375,11 +389,18 @@ class BarnesHutFactorization(LinearOperator):
                 t.leafsize,
                 F,
                 self.order,
+                fixed_centers,
             )
             flat = flat.at[jnp.asarray(rows_b.reshape(-1))].set(out_g.reshape(-1))
         out = jnp.zeros((self._tgt_P,), dtype=flat.dtype)
         out = out.at[jnp.asarray(self._tgt_perm)].set(flat)
         return out[: self.n]
+
+    def matvec_linear(self, v):
+        """The fixed-expansion-center matvec: a TRUE linear operator in v
+        (see bh_matvec's fixed_centers). Use inside CG/MINRES/SLQ — the
+        default |w|-com matvec moves its expansion points with v."""
+        return self._matvec(v, fixed_centers=True)
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 500, **kw):
         from ..operators.solvers import cached_jit, minres
@@ -387,6 +408,7 @@ class BarnesHutFactorization(LinearOperator):
         f = cached_jit(
             self,
             ("minres", tol, maxiter),
-            lambda: (lambda bb: minres(self._matvec, bb, tol=tol, maxiter=maxiter)[0]),
+            lambda: (lambda bb: minres(self.matvec_linear, bb, tol=tol,
+                                       maxiter=maxiter)[0]),
         )
         return f(jnp.asarray(b))

@@ -299,13 +299,17 @@ def _tree_device_impl(yp, bits, d, L, ls):
         off = jnp.sqrt(((cc - centers[l][:, None, :]) ** 2).sum(-1))
         radii[l] = jnp.minimum(radii[l], (rc + off).max(axis=1))
     perm = perm.astype(jnp.int32)
-    # pack every host-mirror into ONE flat f32 buffer: device_get on a
-    # pytree fetches each leaf separately (2L+2 tunnel round trips);
-    # one packed fetch costs one.
+    # pack every host-mirror into ONE flat INT32 buffer: device_get on a
+    # pytree fetches each leaf separately (2L+2 tunnel round trips); one
+    # packed fetch costs one. The buffer is integer-typed with the f32
+    # payload bitcast INTO it (not the int perm bitcast to f32: perm
+    # values 0..P-1 are all denormal f32 bit patterns, and any pass that
+    # flushes denormals would silently zero the permutation — ADVICE r2).
     import jax as _jax
+    b32 = lambda a: _jax.lax.bitcast_convert_type(a, jnp.int32)
     packed = jnp.concatenate(
-        [_jax.lax.bitcast_convert_type(perm, jnp.float32), points.ravel()]
-        + [c.ravel() for c in centers] + [r.ravel() for r in radii])
+        [perm, b32(points.ravel())]
+        + [b32(c.ravel()) for c in centers] + [b32(r.ravel()) for r in radii])
     return perm, points, tuple(centers), tuple(radii), packed
 
 
@@ -332,15 +336,17 @@ def _build_tree_device(y, m, d, L, ls, P, pad) -> BalancedTree:
         yj, bits=bits, d=d, L=L, ls=ls)
     # host mirrors in ONE device->host transfer (the tunnel round trip is
     # ~36 ms regardless of payload; per-array fetches dominated the build)
-    buf = np.asarray(packed)
+    buf = np.asarray(packed)  # int32; float payload bitcast back below
+    f32 = lambda a: a.view(np.float32)
     o = 0
-    perm_np = buf[o:o + P].view(np.int32); o += P
-    points_np = buf[o:o + P * d].reshape(P, d); o += P * d
+    perm_np = buf[o:o + P]; o += P
+    points_np = f32(buf[o:o + P * d]).reshape(P, d); o += P * d
     centers_np, radii_np = [], []
     for l in range(L + 1):
-        centers_np.append(buf[o:o + (2**l) * d].reshape(2**l, d)); o += (2**l) * d
+        centers_np.append(f32(buf[o:o + (2**l) * d]).reshape(2**l, d)); o += (2**l) * d
     for l in range(L + 1):
-        radii_np.append(buf[o:o + 2**l]); o += 2**l
+        radii_np.append(f32(buf[o:o + 2**l])); o += 2**l
+    assert perm_np.min() >= 0 and perm_np.max() < P
     return BalancedTree(
         perm=perm_np,
         points=points,

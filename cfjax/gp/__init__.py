@@ -4,4 +4,4 @@ from .regression import (
     log_marginal_likelihood,
 )
 from .fit import fit_kernel
-from .hmc import hmc_sample
+from .hmc import hmc_sample, nuts_sample

@@ -164,10 +164,92 @@ def _ell_counts(xb3, yp, r2):
     from ..ops.tiles import sqdist_tile
 
     def one(xb):
-        D = sqdist_tile(xb, yp)
+        # direct difference form out to d = 64: EXACT values near the
+        # radius cut (the bf16 matmul expansion loses ~1e-2 absolute on
+        # D) and the VPU cost is negligible vs the 6-pass HIGHEST matmul
+        D = sqdist_tile(xb, yp, direct_max_d=64)
         return jnp.sum(D <= r2, axis=1)
 
     return jax.lax.map(one, xb3)
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _ell_build_topk(k, xb3, yp, r2, w):
+    """Per-row neighbor extraction WITHOUT per-row nonzero: the key
+    `-col where in-range` makes lax.top_k return the in-range column ids
+    in ascending order (TPU's top_k is a fused vectorized reduction; the
+    vmap-of-nonzero this replaces was scatter-bound at 43 ns/element over
+    the full n*m mask — VERDICT r3 #2). Returns (cols (B, w) int32 sorted
+    per row with pad = m, vals (B, w))."""
+    from ..ops.tiles import sqdist_tile
+
+    m = yp.shape[0]
+    neg_inf = jnp.iinfo(jnp.int32).min
+
+    def one(xb):
+        D = sqdist_tile(xb, yp, direct_max_d=64)
+        mask = D <= r2
+        key = jnp.where(mask, -jnp.arange(m, dtype=jnp.int32)[None, :],
+                        neg_inf)
+        kv, idx = jax.lax.top_k(key, w)
+        valid = kv > neg_inf
+        vals_full = jnp.where(mask, k.profile_value(D), 0.0)
+        v = jnp.where(valid, jnp.take_along_axis(vals_full, idx, axis=1), 0.0)
+        c = jnp.where(valid, idx, m).astype(jnp.int32)
+        return c, v
+
+    return jax.lax.map(one, xb3)
+
+
+# quantized shape menus: every device computation in the build is keyed
+# on (block-count, width) static shapes; rounding both to a sparse menu
+# makes "warm" builds on NEW data hit the jit cache instead of
+# recompiling (measured: per-dataset tier shapes cost 20-30 s/build in
+# tunnel compiles)
+_SHAPE_MENU = np.array(
+    [1, 2, 3, 4, 6, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+     768, 1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576,
+     32768])
+
+
+def _menu_roundup(v, lo=8):
+    v = max(int(v), lo)
+    idx = np.searchsorted(_SHAPE_MENU, v)
+    if idx >= len(_SHAPE_MENU):
+        return -(-v // 8192) * 8192
+    return int(_SHAPE_MENU[idx])
+
+
+def _width_tiers(counts_sorted, n, align, max_tiers=4):
+    """Partition the count-SORTED rows into <= max_tiers contiguous tiers,
+    each padded to its own menu-quantized width; boundaries are multiples
+    of `align` rows. Greedy split minimizing total slot count — the
+    single-width ELL paid max(count) on EVERY row (one dense row = 40x
+    padding)."""
+    n_pad = -(-n // align) * align
+    cs = np.concatenate(
+        [np.asarray(counts_sorted), np.zeros(n_pad - n, dtype=np.int64)])
+    w_of = _menu_roundup
+    bounds = [0, n_pad]
+    for _ in range(max_tiers - 1):
+        best = None
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2 * align:
+                continue
+            base = w_of(cs[lo]) * (hi - lo)
+            for cut in range(lo + align, hi, align):
+                cost = (w_of(cs[lo]) * (cut - lo)
+                        + w_of(cs[cut]) * (hi - cut))
+                gain = base - cost
+                if best is None or gain > best[0]:
+                    best = (gain, cut)
+        if best is None or best[0] <= 0:
+            break
+        bounds.append(best[1])
+        bounds.sort()
+    return [(bounds[i], bounds[i + 1], w_of(cs[bounds[i]]))
+            for i in range(len(bounds) - 1)]
 
 
 @partial(jax.jit, static_argnames=("w",))
@@ -177,7 +259,7 @@ def _ell_build(k, xb3, yp, r2, w):
     m = yp.shape[0]
 
     def one(xb):
-        D = sqdist_tile(xb, yp)
+        D = sqdist_tile(xb, yp, direct_max_d=64)
         mask = D <= r2
         vals_full = jnp.where(mask, k.profile_value(D), 0.0)
 
@@ -475,7 +557,12 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     r2 = r * r
     n, m = xp.shape[0], yp.shape[0]
 
-    if format == "lazy" or (method in ("tree", "auto") and n * m > (1 << 18)):
+    # the tree range search pays only when the quadratic scan is genuinely
+    # big: the tiered top_k scan handles n*m ~ 2^31 in ~1 s on the MXU/VPU,
+    # while a doomed tree attempt (high-d: leaf radii >= decay radius, so
+    # nothing prunes) costs seconds of host work before bailing
+    if format == "lazy" or method == "tree" or (
+            method == "auto" and n * m > (1 << 31)):
         cd = _tree_candidates(xp, yp, y is None, r, leafsize)
         if cd is not None:
             # at large n the materialized ELL arrays cost O(n*width) HBM
@@ -506,6 +593,41 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     counts = np.asarray(
         _ell_counts(xpad.reshape(nb, block, -1), yp, r2)
     ).reshape(-1)[:n]
+    nnz = int(counts.sum())
+    ratio = nnz / (n * m)
+
+    if format == "tile" and -(-m // 128) <= 256:
+        # count-sorted width-tiered build: rows sorted by neighbor count
+        # (the order TileELL wants anyway), tiers sized so one dense row
+        # doesn't inflate every row's padded width
+        from .tile_ell import build_tile_ell_from_sorted
+
+        perm = np.argsort(-counts, kind="stable")
+        # tier boundaries must be multiples of both the scan block and the
+        # TileELL group granularity (128 lanes x 8 pallas row-blocks)
+        align = 1024 * block // math.gcd(1024, block)
+        tiers = _width_tiers(counts[perm], n, align=align)
+        xs = xp[jnp.asarray(perm)]
+        buckets = []
+        for lo, hi, w in tiers:
+            w = min(w, m)  # top_k requires k <= m
+            hi_r = min(hi, n)
+            if hi_r <= lo:
+                continue
+            # block count quantized to the menu: pad rows with far-away
+            # points (match nothing) so the jitted shape recurs across
+            # datasets; crop to the real rows afterwards
+            nbb = _menu_roundup(-(-(hi_r - lo) // block), lo=1)
+            xt = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(xs, ((0, max(0, lo + nbb * block - n)), (0, 0)),
+                        constant_values=1e15), lo, nbb * block)
+            cols_b, vals_b = _ell_build_topk(
+                k, xt.reshape(nbb, block, -1), yp, r2, w)
+            buckets.append((lo, cols_b.reshape(-1, w),
+                            vals_b.reshape(-1, w), hi_r - lo))
+        return build_tile_ell_from_sorted(buckets, perm, nnz, n, m,
+                                          symmetric=y is None), ratio
+
     # multiple-of-8 width: tight storage/gather traffic (pow2 rounding
     # inflated the MVM by width/max); distinct widths compile separately
     # but land in the persistent compile cache
@@ -515,8 +637,6 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     cols, vals = _ell_build(k, xpad.reshape(nb, block, -1), yp, r2, width)
     cols = cols.reshape(nb * block, width)[:n]
     vals = vals.reshape(nb * block, width)[:n]
-    nnz = int(counts.sum())
-    ratio = nnz / (n * m)
     return _pack_sparse(cols, vals, counts, n, m, nnz, format,
                         symmetric=y is None), ratio
 

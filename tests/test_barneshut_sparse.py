@@ -131,7 +131,8 @@ def test_tile_ell_small_m(rng):
     a = jnp.asarray(rng.standard_normal(m))
     go = tuple(g[2] for g in S.groups)
     gv = tuple(g[3] for g in S.groups)
-    out = _tile_ell_matvec_impl(go, gv, S.perm, a, S.nt, True)[:n]
+    crops = tuple(g[1] - g[0] for g in S.groups)
+    out = _tile_ell_matvec_impl(go, gv, S.perm, a, S.nt, True, crops)[:n]
     expect = np.asarray(S.todense()) @ np.asarray(a)
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-7)
 
@@ -284,3 +285,64 @@ def test_tile_ell_rmatvec_nonsymmetric(rng):
     Sd = np.asarray(S.todense())
     v = jnp.asarray(rng.standard_normal(300), dtype=jnp.float32)
     assert np.allclose(np.asarray(S.T @ v), Sd.T @ np.asarray(v), atol=1e-5)
+
+
+def test_sparse_gramian_width_tiers(rng):
+    """Skewed neighbor counts (one dense cluster + a diffuse cloud) must
+    exercise several width tiers of the count-sorted TileELL build — the
+    single global ELL width this replaced inflated one dense row's count
+    onto every row (VERDICT r3 #2)."""
+    from cfjax.operators.sparse_op import _width_tiers
+
+    n, d = 4096, 3
+    cluster = rng.standard_normal((512, d)) * 0.05          # dense blob
+    cloud = rng.standard_normal((n - 512, d)) * 4.0          # diffuse
+    x = jnp.asarray(np.concatenate([cluster, cloud]), dtype=jnp.float64)
+    k = Lengthscale(EQ(), 0.3)
+    S, ratio = sparse_gramian(k, x, tol=1e-8, block=256, format="tile")
+    counts = np.asarray((np.asarray(pairwise(k, x, x)) >= 1e-8).sum(1))
+    tiers = _width_tiers(np.sort(counts)[::-1], n, align=1024)
+    assert len(tiers) >= 2, "cluster/cloud skew should produce >= 2 tiers"
+    K = np.asarray(pairwise(k, x, x))
+    a = rng.standard_normal(n)
+    approx = np.asarray(S @ jnp.asarray(a))
+    err = np.linalg.norm(approx - K @ a) / np.linalg.norm(K @ a)
+    assert err < 1e-6, err
+    assert S.nnz == counts.sum()
+
+
+def test_bh_fixed_centers_linear(rng):
+    """matvec_linear must be exactly linear in v (CG/MINRES contract) and
+    accurate; the default |w|-com matvec is only approximately linear."""
+    n = 2048
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    F = BarnesHutFactorization(EQ(), x, theta=0.4)
+    a = jnp.asarray(rng.standard_normal(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    lhs = F.matvec_linear(2.0 * a - 3.0 * b)
+    rhs = 2.0 * F.matvec_linear(a) - 3.0 * F.matvec_linear(b)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-10, atol=1e-10)
+    K = np.asarray(pairwise(EQ(), x, x))
+    err = np.linalg.norm(np.asarray(F.matvec_linear(a)) - K @ np.asarray(a))
+    err /= np.linalg.norm(K @ np.asarray(a))
+    assert err < 0.05, err
+
+
+def test_bh_cg_gp_solve_roundtrip(rng):
+    """Config-5 pipeline at test scale: (K_bh + sigma^2 I) alpha = y via
+    CG on the linear BH matvec, checked against the dense solve."""
+    from cfjax.operators.solvers import cg
+
+    n = 2048
+    x = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    y = jnp.sin(3.0 * x[:, 0]) + 0.05 * jnp.asarray(rng.standard_normal(n))
+    F = BarnesHutFactorization(EQ(), x, theta=0.2, order=2)
+    sigma2 = 0.1
+    alpha, (iters, res) = cg(lambda v: F.matvec_linear(v) + sigma2 * v, y,
+                             tol=1e-6, maxiter=300)
+    K = np.asarray(pairwise(EQ(), x, x)) + sigma2 * np.eye(n)
+    alpha_exact = np.linalg.solve(K, np.asarray(y))
+    err = np.linalg.norm(np.asarray(alpha) - alpha_exact)
+    err /= np.linalg.norm(alpha_exact)
+    assert err < 0.05, err

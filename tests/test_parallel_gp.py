@@ -257,3 +257,54 @@ def test_logml_slq_lazy_regime(rng):
     assert np.isfinite(float(g))
     # Hutchinson gradient: stochastic, but should agree in sign and rough scale
     assert abs(float(g) - float(g_exact)) < 0.15 * max(1.0, abs(float(g_exact)))
+
+
+def test_nuts_gaussian(rng):
+    """NUTS on a correlated 2-D Gaussian: mean/cov within MC tolerance and
+    healthy acceptance statistic (BASELINE config 5 requires NUTS, not
+    plain HMC)."""
+    from cfjax.gp import nuts_sample
+
+    cov = jnp.asarray([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(th):
+        return -0.5 * th @ (prec @ th)
+
+    samples, astat = nuts_sample(
+        logp,
+        jnp.zeros(2),
+        jax.random.PRNGKey(3),
+        num_samples=4000,
+        num_warmup=600,
+        max_tree_depth=8,
+    )
+    assert 0.5 < float(astat) <= 1.0
+    s = np.asarray(samples)
+    assert np.all(np.abs(s.mean(0)) < 0.25)
+    emp = np.cov(s.T)
+    np.testing.assert_allclose(emp, np.asarray(cov), rtol=0.35, atol=0.15)
+
+
+def test_nuts_through_logml(rng):
+    """NUTS gradient flows through the lazy logML stack (Cholesky path)."""
+    from cfjax.gp import nuts_sample
+
+    n = 48
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    k_true = Lengthscale(EQ(), 0.7)
+    K = np.asarray(pairwise(k_true, x, x)) + 0.01 * np.eye(n)
+    y = jnp.asarray(np.linalg.cholesky(K) @ rng.standard_normal(n))
+
+    def logpost(theta):
+        k = Lengthscale(EQ(), jnp.exp(theta[0]))
+        return log_marginal_likelihood(k, x, y, noise=0.01) - 0.5 * theta[0] ** 2
+
+    samples, astat = nuts_sample(
+        logpost, jnp.zeros(1), jax.random.PRNGKey(0),
+        num_samples=40, num_warmup=40, max_tree_depth=5)
+    assert np.isfinite(np.asarray(samples)).all()
+    assert float(astat) > 0.3
+    # posterior should concentrate within a factor ~2 of the true scale
+    l_hat = float(jnp.exp(jnp.median(samples[:, 0])))
+    assert 0.2 < l_hat < 2.5
