@@ -337,15 +337,22 @@ def bench_barneshut():
                  / jnp.linalg.norm(rows3))
     record("barneshut_mvm_theta0.5_n1e6", dt3, float("nan"),
            note=f"rel err {err3:.2e} vs 16 exact rows")
-    # config 5 deliverable: the n=1e6 GP solve (K + sigma^2 I) alpha = y
-    # with the BH matvec inside CG (fixed expansion centers -> the matvec
-    # is a true linear operator; see bh.matvec_linear)
-    from cfjax.operators.solvers import cg
+    # config 5 deliverable: the n=1e6 GP solve (K + sigma^2 I) alpha = y.
+    # A solve THROUGH the approximate BH matvec is ill-posed at GP noise
+    # levels (its non-symmetric error ~1e-2 >> sigma^2 breaks CG/MINRES —
+    # measured relres 3e+1); the sound large-n solve is the EXACT lazy
+    # Gramian MVM + rank-r Nystrom-preconditioned CG (3-8 iterations on
+    # smooth kernels vs 400+ unpreconditioned).
+    from cfjax.kernels import Lengthscale
+    from cfjax.operators import cg, gramian, nystrom_preconditioner
 
     sigma2 = 1e-2
+    k5 = Lengthscale(EQ(), 1.0)
     yv = jnp.sin(x3[:, 0]) + 0.1 * w3
-    Kmv = lambda v: F3.matvec_linear(v) + sigma2 * v
-    solve = jax.jit(lambda b: cg(Kmv, b, tol=1e-3, maxiter=100))
+    G5 = gramian(k5, x3)
+    M5 = nystrom_preconditioner(k5, x3, sigma2, rank=512)
+    Kmv = lambda v: G5._matvec(v) + sigma2 * v
+    solve = jax.jit(lambda b: cg(Kmv, b, tol=1e-4, maxiter=50, M=M5))
     alpha, (it0, res0) = solve(yv)           # compile + run
     jax.block_until_ready(alpha)
     t0 = time.perf_counter()
@@ -353,9 +360,10 @@ def bench_barneshut():
     jax.block_until_ready(alpha)
     dt5 = time.perf_counter() - t0
     relres = float(res5) / float(jnp.linalg.norm(yv))
-    record("barneshut_cg_gp_solve_n1e6", dt5, float("nan"),
-           note=f"{int(iters5)} CG iters to rel res {relres:.1e} "
-                f"(sigma^2 {sigma2}, theta 0.5); BASELINE config 5")
+    record("gp_solve_nystrom_pcg_exact_n1e6", dt5, float("nan"),
+           note=f"{int(iters5)} PCG iters to rel res {relres:.1e} "
+                f"(exact lazy MVM, rank-512 Nystrom, sigma^2 {sigma2}); "
+                f"BASELINE config 5")
 
 
 def tile_ell_chained(S, a):
@@ -443,6 +451,23 @@ def bench_logml():
     record("logml_slq_eq_n65536_d3", dt, float("nan"),
            note="stochastic Lanczos quadrature + CG, O(1) memory, "
                 "jax.grad-able (Hutchinson custom VJP)", spread=spr)
+    # SLQ at true lazy-regime scale (VERDICT r3 #8): n = 2^20; Lanczos
+    # probe sweeps chunk so the reorthogonalization basis stays < ~1 GB
+    n20 = 1 << 20
+    x20 = jnp.asarray(rng.standard_normal((n20, 2)), dtype=jnp.float32)
+    y20 = jnp.asarray(rng.standard_normal(n20), dtype=jnp.float32)
+    h = jax.jit(lambda yy: log_marginal_likelihood(
+        EQ(), x20, yy, noise=3e-1, method="slq", probes=4,
+        lanczos_iters=24, solve_tol=1e-3, solve_maxiter=50))
+    jax.block_until_ready(h(y20))
+    t0 = time.perf_counter()
+    v20 = h(y20)
+    jax.block_until_ready(v20)
+    record("logml_slq_eq_n2pow20_d2", time.perf_counter() - t0,
+           float("nan"),
+           note="n=1048576 lazy logML (value), 24 Lanczos iters x 4 "
+                "probes, basis chunked to <1GB; logML="
+                f"{float(v20):.4g}")
 
 
 def main():

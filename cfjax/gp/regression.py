@@ -51,13 +51,36 @@ class GPPosterior:
         return prior - quad
 
 
-def gp_condition(kernel, x, y, noise: float = 1e-6, **solve_opts) -> GPPosterior:
+def gp_condition(kernel, x, y, noise: float = 1e-6,
+                 precondition: str = "auto", precond_rank: int = 512,
+                 **solve_opts) -> GPPosterior:
     """Condition a GP prior on observations (y may be values, or stacked
-    value/gradient blocks when kernel is a derivative kernel)."""
+    value/gradient blocks when kernel is a derivative kernel).
+
+    precondition: "auto" builds a rank-`precond_rank` Nystrom
+    preconditioner for the lazy-CG regime (n > max_cholesky_size and a
+    plain Gramian operator) — on smooth kernels it cuts CG iterations by
+    ~10-100x and keeps f32 CG convergent at condition numbers where the
+    unpreconditioned recurrence stalls. "never" disables."""
+    from .. import config as _config
+    from ..operators.gramian import Gramian
     from ..utils.grids import as_points
 
-    K = gramian(kernel, x).add_diagonal(noise)
-    alpha = K.solve(jnp.asarray(y), **solve_opts)
+    K0 = gramian(kernel, x)
+    K = K0.add_diagonal(noise)
+    n = K.shape[0]
+    if (precondition == "auto" and isinstance(K0, Gramian)
+            and n > _config.DEFAULT.max_cholesky_size):
+        from ..operators.preconditioner import nystrom_preconditioner
+        from ..operators.solvers import cg as _cg
+
+        M = nystrom_preconditioner(kernel, x, noise,
+                                   rank=min(precond_rank, n // 2))
+        alpha, _ = _cg(K._matvec, jnp.asarray(y), M=M,
+                       tol=solve_opts.get("tol", None),
+                       maxiter=solve_opts.get("maxiter", None))
+    else:
+        alpha = K.solve(jnp.asarray(y), **solve_opts)
     return GPPosterior(kernel, x, alpha, noise)
 
 

@@ -21,5 +21,6 @@ from .toeplitz import (
 )
 from .kronecker import KroneckerCholesky, KroneckerOperator
 from .woodbury import WoodburyOperator
-from .solvers import CholeskyFactorization, cg, factorize, minres, solve
+from .solvers import CholeskyFactorization, cg, factorize, gmres, minres, solve
+from .preconditioner import nystrom_preconditioner
 from .dispatch import LambdaKernel, gramian

@@ -88,10 +88,19 @@ def gramian_matvec(k, x, y, a, mode: str = "iso", block: int = 512):
     n = x.shape[0]
     c = slf_vector(k) if mode == "slf" else None
     xb = _pad_rows(x, block)
+    from ..ops.tiles import matmul_p
 
     def body(xblk):
         K = kernel_tile(k, xblk, y, mode, c)
-        return K @ a
+        # single RHS: fused VPU multiply + lane reduction — EXACT f32
+        # (the default bf16 MXU ingestion truncates kernel ENTRIES to ~3
+        # digits, a 4e-3 matvec error that stalls/diverges PCG at GP
+        # noise levels — measured on chip r3) and cheaper than a matmul
+        # whose N=1 pads to the 128-granular MXU tile.
+        if a.ndim == 1:
+            return jnp.sum(K * a[None, :], axis=1)
+        # matrix RHS: MXU matmul at the configured input precision
+        return matmul_p(K, a)
 
     out = lax.map(body, xb)
     return out.reshape((-1,) + a.shape[1:])[:n]

@@ -383,7 +383,9 @@ def _tree_tile_contract(k, r2, xg, ptsy, slot, ok, w):
         t = t * t
         D = t if D is None else D + t
     val = jnp.where((D <= r2) & ok[:, None, :], k.profile_value(D), 0.0)
-    return jnp.einsum("gxc,gc->gx", val, wg).reshape(-1)
+    from ..ops.tiles import resolve_precision
+    return jnp.einsum("gxc,gc->gx", val, wg,
+                      precision=resolve_precision(None)).reshape(-1)
 
 
 def _tree_candidates(xp, yp, same, r, leafsize=None):
@@ -437,14 +439,20 @@ def _tree_candidates(xp, yp, same, r, leafsize=None):
         pos = np.arange(gi_idx.shape[0]) - np.repeat(
             np.concatenate([[0], np.cumsum(cnt_g)[:-1]]), cnt_g
         )
-        ids = np.zeros((G, Kb), dtype=np.int64)
-        vmask = np.zeros((G, Kb), dtype=bool)
+        # group count menu-quantized: every distinct (G, C) shape is a
+        # separate remote compile of _tree_counts/_tree_build, and G is
+        # data-dependent — pad with dummy groups (sel = -1, all-invalid
+        # masks) so the shapes recur across datasets
+        Gq = _menu_roundup(G, lo=1)
+        ids = np.zeros((Gq, Kb), dtype=np.int64)
+        vmask = np.zeros((Gq, Kb), dtype=bool)
         ids[gi_idx, pos] = leaf_idx
         vmask[gi_idx, pos] = True
-        slot = (ids[:, :, None] * lsy + lsy_ar[None, None, :]).reshape(G, Kb * lsy)
+        slot = (ids[:, :, None] * lsy + lsy_ar[None, None, :]).reshape(Gq, Kb * lsy)
         gcols = ycol_of_slot[slot]  # (G, C) original column ids (>=m: pad)
         okmask = np.repeat(vmask, lsy, axis=1) & (gcols < m)
-        buckets.append((sel, slot, gcols, okmask))
+        sel_q = np.concatenate([sel, np.full(Gq - G, -1, dtype=sel.dtype)])
+        buckets.append((sel_q, slot, gcols, okmask))
     return dict(tx=tx, ty=ty, buckets=buckets, xg_all=xg_all,
                 perm_x=perm_x, perm_y=perm_y, lsx=lsx, Gx=Gx)
 
@@ -464,12 +472,16 @@ def _tree_lazy_operator(k, xp, yp, same, r, cd):
     x3s, dsts, slots, masks = [], [], [], []
     counts_t = np.zeros((Gx, lsx), dtype=np.int64)
     for sel, slot, gcols, okmask in cd["buckets"]:
-        xg = jnp.asarray(cd["xg_all"][sel])
+        vg = sel >= 0                       # dummy shape-padding groups
+        sel_s = np.maximum(sel, 0)
+        xg = jnp.asarray(cd["xg_all"][sel_s])
         ygath = jnp.asarray(pts_y_np[slot])
         okj = jnp.asarray(okmask)
-        counts_t[sel] = np.asarray(_tree_counts(xg, ygath, okj, okj, r2))
-        rows_t = (sel[:, None] * lsx + np.arange(lsx)[None, :]).reshape(-1)
-        dst = np.where(rowvalid[rows_t], perm_x[rows_t], n).astype(np.int32)
+        cnt = np.asarray(_tree_counts(xg, ygath, okj, okj, r2))
+        counts_t[sel[vg]] = cnt[vg]
+        rows_t = (sel_s[:, None] * lsx + np.arange(lsx)[None, :]).reshape(-1)
+        ok_row = np.repeat(vg, lsx) & rowvalid[rows_t]
+        dst = np.where(ok_row, perm_x[rows_t], n).astype(np.int32)
         x3s.append(xg)
         dsts.append(jnp.asarray(dst))
         slots.append(jnp.asarray(slot.astype(np.int32)))
@@ -493,7 +505,8 @@ def _tree_neighbor_lists(k, xp, yp, same, r, leafsize=None, cd=None):
     perm_x = cd["perm_x"]
     pts_y_np = cd["ty"].points_np
     bucket_data = [
-        (sel, jnp.asarray(cd["xg_all"][sel]), jnp.asarray(pts_y_np[slot]),
+        (sel, jnp.asarray(cd["xg_all"][np.maximum(sel, 0)]),
+         jnp.asarray(pts_y_np[slot]),
          jnp.asarray(gcols.astype(np.int32)), jnp.asarray(okmask))
         for sel, slot, gcols, okmask in cd["buckets"]
     ]
@@ -502,7 +515,9 @@ def _tree_neighbor_lists(k, xp, yp, same, r, leafsize=None, cd=None):
     # pass 1: global max row count -> shared ELL width
     counts_t = np.zeros((Gx, lsx), dtype=np.int64)
     for sel, xg, ygath, gcols, okmask in bucket_data:
-        counts_t[sel] = np.asarray(_tree_counts(xg, ygath, okmask, okmask, r2))
+        vg = sel >= 0                       # dummy shape-padding groups
+        cnt = np.asarray(_tree_counts(xg, ygath, okmask, okmask, r2))
+        counts_t[sel[vg]] = cnt[vg]
     counts_t = counts_t.reshape(-1)
     width = max(8, -(-int(counts_t.max()) // 8) * 8)
 
@@ -514,8 +529,10 @@ def _tree_neighbor_lists(k, xp, yp, same, r, leafsize=None, cd=None):
         cols_b, vals_b = _tree_build(k, xg, ygath, gcols, okmask, r2, width)
         cols_b = np.asarray(cols_b).reshape(-1, width)  # (G*lsx, width)
         vals_b = np.asarray(vals_b).reshape(-1, width)
-        rows_t = (sel[:, None] * lsx + np.arange(lsx)[None, :]).reshape(-1)
-        ok = rowvalid[rows_t]
+        vg = sel >= 0
+        rows_t = (np.maximum(sel, 0)[:, None] * lsx
+                  + np.arange(lsx)[None, :]).reshape(-1)
+        ok = np.repeat(vg, lsx) & rowvalid[rows_t]
         dst = perm_x[rows_t[ok]]
         c = cols_b[ok]
         out_cols[dst] = np.where(c == sentinel, m, c)

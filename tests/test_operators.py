@@ -454,3 +454,72 @@ def test_nonsymmetric_toeplitz_solve_roundtrip(rng):
     b = T @ a
     got = T.solve(b, tol=1e-12, maxiter=2000)
     assert np.allclose(np.asarray(T @ got), np.asarray(b), atol=1e-6)
+
+
+def test_gmres_nonsymmetric(rng):
+    """GMRES solves a genuinely non-symmetric system (CG/MINRES cannot)."""
+    from cfjax.operators import gmres
+
+    n = 200
+    A = np.eye(n) * 4.0 + (2.0 / np.sqrt(n)) * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    x, (it, res) = gmres(lambda v: Aj @ v, jnp.asarray(b), tol=1e-10,
+                         maxiter=400, restart=40)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_nystrom_pcg_accelerates(rng):
+    """Nystrom-preconditioned CG reaches tolerance in far fewer
+    iterations than plain CG on a smooth-kernel system."""
+    from cfjax.kernels import EQ, Lengthscale
+    from cfjax.operators import cg, nystrom_preconditioner
+    from cfjax.utils.testing import pairwise
+
+    n = 2048
+    x = jnp.asarray(rng.uniform(-5, 5, (n, 2)))
+    k = Lengthscale(EQ(), 1.5)
+    K = pairwise(k, x, x)
+    s2 = 1e-2
+    mv = lambda v: K @ v + s2 * v
+    y = jnp.sin(x[:, 0])
+    M = nystrom_preconditioner(k, x, s2, rank=256)
+    x_p, (it_p, res_p) = cg(mv, y, tol=1e-8, maxiter=600, M=M)
+    x_c, (it_c, res_c) = cg(mv, y, tol=1e-8, maxiter=600)
+    expect = np.linalg.solve(np.asarray(K) + s2 * np.eye(n), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(x_p), expect, rtol=1e-4, atol=1e-6)
+    assert int(it_p) < int(it_c) / 3, (int(it_p), int(it_c))
+
+
+def test_refined_solve_beats_f32_cg(rng):
+    """Mixed-precision iterative refinement (f32 Nystrom-PCG inner, f64
+    residuals) reaches f64-quality residuals on a GP system whose
+    condition number exceeds 1/eps_f32 (plain f32 PCG stalls — the
+    n >= 1e5 GP regime measured on chip)."""
+    from cfjax.kernels import EQ, Lengthscale
+    from cfjax.operators import nystrom_preconditioner
+    from cfjax.operators.solvers import cg, refined_solve
+    from cfjax.utils.testing import pairwise
+
+    n = 1024
+    x = jnp.asarray(rng.uniform(-5, 5, (n, 2)))
+    k = Lengthscale(EQ(), 1.5)
+    s2 = 1e-3   # kappa ~ 1e6: f32 PCG noise-floors, IR contracts ~eps32*kappa/step
+    K64 = pairwise(k, x, x) + s2 * jnp.eye(n)
+    K32 = K64.astype(jnp.float32)
+    b = K64 @ jnp.asarray(rng.standard_normal(n))
+    M = nystrom_preconditioner(k, x.astype(jnp.float32), s2, rank=256)
+
+    x32, (it32, res32) = cg(lambda v: K32 @ v, b.astype(jnp.float32),
+                            tol=1e-10, maxiter=500, M=M)
+    # the f32 recurrence's own residual estimate LIES at this kappa:
+    # measure the true f64 residual of the f32 solution
+    rel32 = float(jnp.linalg.norm(b - K64 @ x32.astype(jnp.float64))
+                  ) / float(jnp.linalg.norm(b))
+    xr, (outer, res) = refined_solve(
+        lambda v: K64 @ v, lambda v: K32 @ v, b, M=M,
+        tol=1e-9, inner_tol=1e-3, inner_maxiter=100, refinements=8)
+    rel = float(res) / float(jnp.linalg.norm(b))
+    assert rel < 1e-9, rel
+    assert rel < rel32 / 100, (rel, rel32)

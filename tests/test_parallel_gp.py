@@ -308,3 +308,49 @@ def test_nuts_through_logml(rng):
     # posterior should concentrate within a factor ~2 of the true scale
     l_hat = float(jnp.exp(jnp.median(samples[:, 0])))
     assert 0.2 < l_hat < 2.5
+
+
+def test_slq_probe_chunking_matches_full(rng):
+    """Chunked Lanczos sweeps (the n=10^6 memory fix: probes run
+    sequentially so the reorthogonalization basis stays bounded) must
+    give the same estimate as one full-batch sweep for the same probes."""
+    from cfjax.operators import slq as slq_mod
+
+    n = 256
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    K = pairwise(Lengthscale(EQ(), 0.8), x, x) + 0.1 * jnp.eye(n)
+    mv = lambda params, V: K @ V
+    key = jax.random.PRNGKey(7)
+    full, _ = slq_mod._slq_fwd(mv, n, 8, 24, 1e-6, 200, None, key)
+    orig = slq_mod._probe_chunk
+    try:
+        slq_mod._probe_chunk = lambda n_, p_, it_: 2   # force 4 chunks
+        chunked, _ = slq_mod._slq_fwd(mv, n, 8, 24, 1e-6, 200, None, key)
+    finally:
+        slq_mod._probe_chunk = orig
+    np.testing.assert_allclose(float(chunked), float(full), rtol=1e-8)
+    ref = float(jnp.linalg.slogdet(K)[1])
+    assert abs(float(full) - ref) / abs(ref) < 0.05
+
+
+def test_gp_condition_preconditioned_large_n(rng):
+    """Above max_cholesky_size gp_condition auto-builds the Nystrom
+    preconditioner; the posterior must match the dense solve."""
+    from cfjax import config as cfg
+
+    n = 600
+    x = jnp.asarray(rng.uniform(-4, 4, (n, 2)))
+    k = Lengthscale(EQ(), 1.0)
+    y = jnp.sin(x[:, 0]) + 0.05 * jnp.asarray(rng.standard_normal(n))
+    old = cfg.DEFAULT.max_cholesky_size
+    try:
+        cfg.set_config(max_cholesky_size=256)   # force the lazy-PCG branch
+        post = gp_condition(k, x, y, noise=1e-2, tol=1e-10, maxiter=400)
+    finally:
+        cfg.set_config(max_cholesky_size=old)
+    from cfjax.utils.testing import pairwise
+
+    K = np.asarray(pairwise(k, x, x)) + 1e-2 * np.eye(n)
+    alpha = np.linalg.solve(K, np.asarray(y))
+    np.testing.assert_allclose(np.asarray(post.alpha), alpha,
+                               rtol=1e-4, atol=1e-6)
