@@ -354,3 +354,31 @@ def test_gp_condition_preconditioned_large_n(rng):
     alpha = np.linalg.solve(K, np.asarray(y))
     np.testing.assert_allclose(np.asarray(post.alpha), alpha,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_pcg_matches_single_device(rng):
+    """Config-5 solve shape on the fake 8-device mesh: Nystrom-PCG with
+    the 2-D-mesh sharded exact MVM must match the single-device solve."""
+    from jax.sharding import Mesh
+
+    from cfjax.operators import cg, nystrom_preconditioner
+    from cfjax.parallel.mesh import sharded_gramian_matvec_2d
+
+    n = 512
+    x = jnp.asarray(rng.uniform(-4, 4, (n, 2)))
+    k = Lengthscale(EQ(), 1.0)
+    y = jnp.sin(x[:, 0])
+    s2 = 1e-2
+    M = nystrom_preconditioner(k, x, s2, rank=64)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("rows", "cols"))
+    mv_sh = lambda v: sharded_gramian_matvec_2d(k, x, x, v, "iso", mesh,
+                                                block=64) + s2 * v
+    G = gramian(k, x)
+    mv_1 = lambda v: G._matvec(v) + s2 * v
+    a_sh, (it_sh, _) = cg(mv_sh, y, tol=1e-10, maxiter=200, M=M)
+    a_1, (it_1, _) = cg(mv_1, y, tol=1e-10, maxiter=200, M=M)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_1),
+                               rtol=1e-7, atol=1e-9)
+    # reduction-order ulps can shift the stopping point by an iteration
+    assert abs(int(it_sh) - int(it_1)) <= 3 and int(it_sh) < 150
