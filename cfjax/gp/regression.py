@@ -69,14 +69,25 @@ def gp_condition(kernel, x, y, noise: float = 1e-6,
     K0 = gramian(kernel, x)
     K = K0.add_diagonal(noise)
     n = K.shape[0]
+    # the Nystrom build needs a SCALAR noise (it enters the Woodbury
+    # capacitance as sigma^2); heteroscedastic noise vectors fall back to
+    # the plain K.solve path, which supports them (ADVICE r3)
     if (precondition == "auto" and isinstance(K0, Gramian)
+            and jnp.ndim(noise) == 0
             and n > _config.DEFAULT.max_cholesky_size):
         from ..operators.preconditioner import nystrom_preconditioner
         from ..operators.solvers import cg as _cg
 
+        known = {"tol", "maxiter", "x0"}
+        extra = set(solve_opts) - known
+        if extra:
+            raise TypeError(
+                f"unsupported solve_opts for the preconditioned CG path: "
+                f"{sorted(extra)}")
         M = nystrom_preconditioner(kernel, x, noise,
                                    rank=min(precond_rank, n // 2))
         alpha, _ = _cg(K._matvec, jnp.asarray(y), M=M,
+                       x0=solve_opts.get("x0", None),
                        tol=solve_opts.get("tol", None),
                        maxiter=solve_opts.get("maxiter", None))
     else:

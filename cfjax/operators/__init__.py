@@ -21,6 +21,7 @@ from .toeplitz import (
 )
 from .kronecker import KroneckerCholesky, KroneckerOperator
 from .woodbury import WoodburyOperator
-from .solvers import CholeskyFactorization, cg, factorize, gmres, minres, solve
+from .solvers import (CholeskyFactorization, LowRankFactorization, cg,
+                      factorize, gmres, minres, refined_solve, solve)
 from .preconditioner import nystrom_preconditioner
 from .dispatch import LambdaKernel, gramian

@@ -574,6 +574,14 @@ def sparse_gramian(k, x, y=None, tol: float = None, block: int = 2048,
     r2 = r * r
     n, m = xp.shape[0], yp.shape[0]
 
+    # the quadratic scan materializes one (block, m) f32 distance tile per
+    # lax.map step; cap it at ~2^27 entries (~512 MB) by shrinking the
+    # block for very wide m (asymmetric cross-gramians, e.g. n=2048
+    # against m=10^6, would otherwise build an ~8 GB tile — ADVICE r3)
+    max_tile = 1 << 27
+    if block * m > max_tile:
+        block = max(128, 1 << max(0, (max_tile // max(m, 1)).bit_length() - 1))
+
     # the tree range search pays only when the quadratic scan is genuinely
     # big: the tiered top_k scan handles n*m ~ 2^31 in ~1 s on the MXU/VPU,
     # while a doomed tree attempt (high-d: leaf radii >= decay radius, so

@@ -31,10 +31,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cfjax_tpu_cache")
+# honor a user-configured cache dir; default to a user-relative path
+if not jax.config.jax_compilation_cache_dir:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cfjax_tpu_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

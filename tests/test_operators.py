@@ -523,3 +523,135 @@ def test_refined_solve_beats_f32_cg(rng):
     rel = float(res) / float(jnp.linalg.norm(b))
     assert rel < 1e-9, rel
     assert rel < rel32 / 100, (rel, rel32)
+
+
+def test_factorize_rank_deficient_duplicated_points(rng):
+    """Duplicated points make the Gramian numerically rank-deficient:
+    factorize must detect it and return a rank-revealing low-rank
+    factorization that solves and logdets at the true numerical rank
+    (reference pivoted-Cholesky semantics, src/gramian.jl:193-199) —
+    not silently jitter-regularize."""
+    from cfjax.operators.solvers import LowRankFactorization
+
+    x0 = rand_pts(rng, 25, 2)
+    x = jnp.concatenate([x0, x0], axis=0)
+    K = gramian(EQ(), x)
+    F = factorize(K)
+    assert isinstance(F, LowRankFactorization)
+    assert F.rank < 25
+    A = np.asarray(K.todense())
+    w = np.linalg.eigvalsh(A)
+    assert F.rank == int((w > 1e-6 * w.max()).sum())
+    # pseudo-solve: for b in range(A), A (A^+ b) == b
+    b = A @ rng.standard_normal(50)
+    np.testing.assert_allclose(
+        A @ np.asarray(F.solve(jnp.asarray(b))), b, rtol=1e-4, atol=1e-6)
+    # pseudo-logdet over retained eigenvalues
+    np.testing.assert_allclose(
+        float(F.logdet()), float(np.sum(np.log(w[w > 1e-6 * w.max()]))),
+        rtol=1e-6)
+
+
+def test_factorize_finite_basis_low_rank(rng):
+    """FiniteBasis with n >> rank: the low-rank gramian factorizes via the
+    r x r Gram matrix (O(n r^2), never densified) into a rank-<=r object
+    whose solve is the minimum-norm pseudo-inverse."""
+    from cfjax.operators.solvers import LowRankFactorization
+
+    basis = (lambda x: x[0], lambda x: x[1], lambda x: x[0] * x[1])
+    k = FiniteBasis(basis)
+    x = rand_pts(rng, 60, 2)
+    K = gramian(k, x)
+    assert isinstance(K, LowRankOperator)
+    F = factorize(K)
+    assert isinstance(F, LowRankFactorization)
+    assert F.rank <= 3
+    A = np.asarray(K.todense())
+    b = A @ rng.standard_normal(60)
+    np.testing.assert_allclose(
+        A @ np.asarray(F.solve(jnp.asarray(b))), b, rtol=1e-6, atol=1e-8)
+
+
+def test_jitted_solve_compiles_single_cholesky(rng):
+    """A traced CholeskyFactorization must place exactly one Cholesky on
+    the common path (the failure-retry factorization lives inside a
+    lax.cond branch that only executes at runtime on NaN) — the previous
+    `where` over two unconditional factorizations doubled every jitted
+    logpost/solve (VERDICT r3)."""
+    from cfjax.operators.solvers import CholeskyFactorization
+
+    x = rand_pts(rng, 16, 2)
+    K = gramian(EQ(), x).add_diagonal(0.1)
+
+    def f(b):
+        return CholeskyFactorization(K).solve(b)
+
+    jaxpr = jax.make_jaxpr(f)(jnp.ones(16))
+    # count unconditional cholesky eqns (nested inside jit call eqns); the
+    # retry factorization sits inside the cond's branch jaxpr and only
+    # executes at runtime
+    top = sum(1 for e in jaxpr.jaxpr.eqns
+              if e.primitive.name != "cond" and "cholesky" in str(e))
+    assert top == 1, top
+    conds = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "cond"]
+    assert len(conds) == 1
+    assert "cholesky" in str(conds[0])
+
+
+def test_gp_condition_heteroscedastic_noise_vector(rng):
+    """Per-observation noise vectors must route around the Nystrom
+    preconditioner (its Woodbury capacitance needs scalar sigma^2) and
+    still solve correctly through the plain CG path (ADVICE r3)."""
+    from cfjax import config as _cfg
+    from cfjax.gp import gp_condition
+    from cfjax.utils.testing import pairwise
+
+    n = 64
+    x = jnp.asarray(rng.uniform(-3, 3, (n, 2)))
+    k = EQ()
+    noise = jnp.asarray(rng.uniform(0.05, 0.2, n))
+    y = jnp.asarray(rng.standard_normal(n))
+    old = _cfg.DEFAULT.max_cholesky_size
+    _cfg.set_config(max_cholesky_size=16)  # force the "large-n" branch
+    try:
+        post = gp_condition(k, x, y, noise=noise, tol=1e-10, maxiter=2000)
+    finally:
+        _cfg.set_config(max_cholesky_size=old)
+    A = np.asarray(pairwise(k, x, x)) + np.diag(np.asarray(noise))
+    np.testing.assert_allclose(
+        np.asarray(post.alpha), np.linalg.solve(A, np.asarray(y)),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_solve_gmres_method_and_refined(rng):
+    """solve(method="gmres") and solve(method="refined") are reachable
+    public surface (VERDICT r3 housekeeping)."""
+    x = rand_pts(rng, 40, 2)
+    K = gramian(MaternP(1), x).add_diagonal(0.3)
+    A = np.asarray(K.todense())
+    b = jnp.asarray(rng.standard_normal(40))
+    expect = np.linalg.solve(A, np.asarray(b))
+    xg = solve(K, b, method="gmres", tol=1e-10)
+    np.testing.assert_allclose(np.asarray(xg), expect, rtol=1e-5, atol=1e-7)
+    xr = solve(K, b, method="refined")
+    np.testing.assert_allclose(np.asarray(xr), expect, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_preconditioned_true_residual(rng):
+    """With a strong preconditioner the GMRES stopping test measures the
+    TRUE residual ||b - A x||, not the preconditioned one (ADVICE r3)."""
+    from cfjax.operators.solvers import gmres
+
+    n = 48
+    A = np.diag(rng.uniform(1.0, 2.0, n)) + 0.01 * rng.standard_normal((n, n))
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(n))
+    # a deliberately misscaled preconditioner: M = 1e-3 * A^-1 (shrinks the
+    # preconditioned residual 1000x below the true one)
+    Ainv = jnp.asarray(np.linalg.inv(A))
+    M = lambda v: 1e-3 * (Ainv @ v)
+    x, (it, res) = gmres(lambda v: Aj @ v, b, tol=1e-8, maxiter=400, M=M)
+    true_res = float(jnp.linalg.norm(b - Aj @ x))
+    bnorm = float(jnp.linalg.norm(b))
+    assert abs(float(res) - true_res) <= 1e-6 * bnorm
+    assert true_res <= 1e-7 * bnorm
