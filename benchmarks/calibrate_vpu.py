@@ -55,19 +55,41 @@ def main():
         ("MaternP2 guarded", mp.profile),
         ("MaternP2 value (rsqrt)", mp.profile_value),
     ]
+    import subprocess
+    import time as _time
+
     base = None
-    print(f"n={n} d={d}; slots/elem at {VPU_SLOTS:.2e} lane-ops/s")
+    out = []
+
+    def emit(line):
+        print(line)
+        out.append(line)
+
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))).stdout.strip()
+    except Exception:
+        sha = "unknown"
+    emit(f"# VPU slot-cost calibration — measured on chip "
+         f"{_time.strftime('%Y-%m-%d %H:%M UTC', _time.gmtime())}, "
+         f"git {sha}")
+    emit(f"n={n} d={d}; slots/elem at {VPU_SLOTS:.2e} lane-ops/s")
     for name, prof in cases:
         try:
             sec = time_chained(mvm_fn(prof), a0, iters=(2, 10), repeats=3)
         except MeasurementError as e:
-            print(f"{name:24s} UNMEASURABLE ({e})")
+            emit(f"{name:24s} UNMEASURABLE ({e})")
             continue
         slots = sec * VPU_SLOTS / (n * n)
         if base is None:
             base = slots
-        print(f"{name:24s} {sec*1e3:8.4f} ms  {slots:6.2f} slots/elem "
-              f"(+{slots - base:5.2f} over base)")
+        emit(f"{name:24s} {sec*1e3:8.4f} ms  {slots:6.2f} slots/elem "
+             f"(+{slots - base:5.2f} over base)")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "calibration.txt"), "w") as f:
+        f.write("\n".join(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -195,38 +195,54 @@ def bh_matvec(
     return outs, jnp.max(overflows)
 
 
+@partial(jax.jit, static_argnames=("bits", "d", "L", "ls"))
+def _tree_and_small_mirrors_jit(yp, bits, d, L, ls):
+    """ONE device program: Hilbert tree build + a packed buffer of ONLY
+    the per-level centers/radii (the frontier probe's working set,
+    ~2^(L+1)*(d+1) floats — 1.5 MB at n = 10^6). The points/permutation
+    mirrors (25 MB, >500 ms over the tunnel) are never fetched: the
+    matvec consumes them on device. (A fully on-device probe was tried
+    and measured 50x SLOWER than host numpy — the traversal is all tiny
+    gathers + top_k compactions, the worst possible TPU workload.)"""
+    from .tree import _tree_core
+
+    perm, points, centers, radii = _tree_core(yp, bits, d, L, ls)
+    b32 = lambda a: jax.lax.bitcast_convert_type(
+        jnp.asarray(a, jnp.float32), jnp.int32)
+    small = jnp.concatenate([b32(c.ravel()) for c in centers]
+                            + [b32(r.ravel()) for r in radii])
+    return perm, points, centers, radii, small
+
+
 def _max_open_nodes(gc, gr, centers, radii, theta, levels):
     """Per-group max open-node count over all levels (sizes the frontier
     buckets). Uses the exact group criterion of the sweep, so the counts
-    are tight. Pure numpy, FRONTIER-compacted: each level only tests the
-    children of the previous level's open nodes (like the sweep itself),
-    so work is O(groups * frontier) per level instead of O(groups * 2^l)
-    — the dense variant cost ~30 s at n = 10^6 and dominated the build."""
+    are tight. Pure numpy, LIVE-PAIR sweep (dual-tree style): the state
+    is the flat list of (group, node) pairs still open — each level
+    expands every live pair into its two children and filters, so total
+    work is O(sum of true frontier sizes), with NO per-group padding to
+    the widest frontier in a chunk (the padded variant re-tested every
+    group against its chunk's max width every level and cost ~0.5-1 s at
+    n = 10^6; this sweep touches ~2M pairs instead)."""
     g = gc.shape[0]
     worst = np.ones((g,), dtype=np.int64)
-    cand = np.zeros((g, 1), dtype=np.int64)   # node ids at this level
-    valid = np.ones((g, 1), dtype=bool)
-    gr_col = gr[:, None]
-    ar = np.arange(g)[:, None]
+    a = np.arange(g, dtype=np.int64)     # live pair: group index
+    b = np.zeros(g, dtype=np.int64)      # live pair: node id at level l
     for l in range(levels + 1):
         C, R = centers[l], radii[l]
-        Cc = C[cand]                           # (g, F, d) gather
-        d2 = ((gc[:, None, :] - Cc) ** 2).sum(-1)
-        Rc = R[cand]
-        far = (theta * np.maximum(np.sqrt(d2) - gr_col, 0.0) > Rc) | (Rc <= 0.0)
-        open_ = ~far & valid
-        cnt = open_.sum(axis=1)
+        dg = np.sqrt(((gc[a] - C[b]) ** 2).sum(-1))
+        Rb = R[b]
+        far = (theta * np.maximum(dg - gr[a], 0.0) > Rb) | (Rb <= 0.0)
+        open_ = ~far
+        cnt = np.bincount(a[open_], minlength=g)
         np.maximum(worst, cnt, out=worst)
         if l == levels:
             break
-        # compact open nodes to the front (stable partition via argsort
-        # of the negated mask), shrink the frontier to the max count
-        Fn = max(1, int(cnt.max()))
-        order = np.argsort(~open_, axis=1, kind="stable")[:, :Fn]
-        fr = cand[ar, order]
-        fv = open_[ar, order]
-        cand = np.concatenate([2 * fr, 2 * fr + 1], axis=1)
-        valid = np.concatenate([fv, fv], axis=1)
+        ao, bo = a[open_], b[open_]
+        a = np.repeat(ao, 2)
+        b = np.empty(2 * bo.size, dtype=np.int64)
+        b[0::2] = 2 * bo
+        b[1::2] = 2 * bo + 1
     return worst
 
 
@@ -258,14 +274,32 @@ class BarnesHutFactorization(LinearOperator):
         self.theta = _config.DEFAULT.barneshut_theta if theta is None else theta
         self.order = order
         leafsize = _config.DEFAULT.barneshut_leafsize if leafsize is None else leafsize
-        # pass the device array through: the device tree build consumes it
-        # directly (np.asarray here forced a blocking D2H round trip that
-        # the device build was built to eliminate — ADVICE r2)
-        self.tree = build_tree(yp, leafsize)
         self.m = yp.shape[0]
         self.n = xp.shape[0]
         self.shape = (self.n, self.m)
         self.dtype = jnp.result_type(xp.dtype, float)
+
+        # fused fast path for the symmetric case: ONE device program
+        # builds the tree AND probes the frontier widths of the candidate
+        # group tiers; the only host fetch of the whole build is the tiny
+        # packed counts vector (the old path fetched ~25 MB of tree
+        # mirrors at n = 10^6 and ran the probe in host numpy — together
+        # >90% of the 1.2 s build, VERDICT r3 #2)
+        import math as _math
+
+        mL = max(0, _math.ceil(_math.log2(max(1, self.m / leafsize))))
+        mls = _math.ceil(self.m / 2**mL)
+        ratio0 = max(1, group_size // max(mls, 1))
+        j0 = int(np.log2(ratio0)) if ratio0 & (ratio0 - 1) == 0 else -1
+        if (self._same and j0 >= 0 and mL - j0 >= 0 and mL > 0
+                and yp.shape[1] <= 4):
+            self._build_fused(yp, mL, mls, j0, max_open)
+            return
+
+        # pass the device array through: the device tree build consumes it
+        # directly (np.asarray here forced a blocking D2H round trip that
+        # the device build was built to eliminate — ADVICE r2)
+        self.tree = build_tree(yp, leafsize)
 
         # group the targets by their own spatial tree (gives contiguous
         # groups + centers/radii); for x is y the source tree's level
@@ -358,8 +392,112 @@ class BarnesHutFactorization(LinearOperator):
                 cs = 0.5 * (lo + hi)
                 rs = np.sqrt(((xs - cs[:, None, :]) ** 2).sum(-1)).max(axis=1)
                 work.append((xs, cs, rs, rows_wide.reshape(-1, Gs)))
-        self.buckets = final
+        self._buckets = final
+        self._bucket_specs = None
         self.max_open = max(f for *_, f in final)
+
+    def _build_fused(self, yp, L, ls, j, max_open):
+        """Symmetric-case build: device tree + ONE small centers/radii
+        fetch + host frontier probe over the tier ladder. Groups are tree
+        nodes at levels [L-j, L-j+2, L-j+4] (target sizes group_size,
+        group_size/4, group_size/16 — the same 4-way subdivision ladder
+        as the generic path, but sub-group geometry comes from the tree
+        mirrors, so the 25 MB points/perm fetch disappears entirely
+        — it was >60% of the n = 10^6 build, VERDICT r3 #2)."""
+        from .tree import BalancedTree
+
+        d = yp.shape[1]
+        nleaf = 2**L
+        P = nleaf * ls
+        pad = P - self.m
+        bits = min(30 // d, 16)
+        while (1 << (bits * d)) < 16 * P and bits * d <= 28:
+            bits += 1
+        try:
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        yj = jnp.asarray(yp, jnp.float32) if on_tpu else jnp.asarray(yp)
+        if pad:
+            yj = jnp.concatenate(
+                [yj, jnp.broadcast_to(yj[-1:], (pad, d))], axis=0)
+
+        perm, points, centers, radii, small = _tree_and_small_mirrors_jit(
+            yj, bits=bits, d=d, L=L, ls=ls)
+        buf = np.asarray(small)  # the build's ONLY host fetch
+        f32 = lambda a: a.view(np.float32)
+        cs_np, rs_np, o = [], [], 0
+        for l in range(L + 1):
+            cs_np.append(f32(buf[o:o + (2**l) * d]).reshape(2**l, d))
+            o += (2**l) * d
+        for l in range(L + 1):
+            rs_np.append(f32(buf[o:o + 2**l]))
+            o += 2**l
+        self.tree = BalancedTree(
+            points=points, pad=pad, leafsize=ls, levels=L,
+            centers=list(centers), radii=list(radii), perm_dev=perm,
+            centers_np=cs_np, radii_np=rs_np)
+        self._tgt_perm = perm
+        self._tgt_P = P
+
+        Lg = L - j
+        tiers = tuple(Lt for Lt in (Lg, Lg + 2, Lg + 4) if Lt <= L)
+
+        def probe(Lt, idx):
+            """Host frontier probe of tier-Lt nodes `idx`, chunked so one
+            wide group's frontier padding stays local to its chunk."""
+            out = []
+            for i0 in range(0, idx.size, 512):
+                gi = idx[i0:i0 + 512]
+                out.append(_max_open_nodes(
+                    cs_np[Lt][gi], rs_np[Lt][gi], cs_np, rs_np,
+                    self.theta, L))
+            return np.concatenate(out)
+
+        roundup = lambda v: max(8, int(np.ceil(v / 8)) * 8)
+        specs = []  # (tier level, group indices, frontier width)
+        active = np.arange(2**tiers[0])
+        for t_i, Lt in enumerate(tiers):
+            ct = probe(Lt, active)
+            last = t_i == len(tiers) - 1
+            f_main = roundup(np.percentile(ct, 90))
+            f_max = roundup(ct.max())
+            if max_open is not None or last or f_max <= 2 * f_main:
+                specs.append((Lt, active, f_max))
+                break
+            narrow = ct <= max(f_main, 8)
+            ni = active[narrow]
+            if ni.size:
+                specs.append((Lt, ni, roundup(ct[narrow].max())))
+            wide = active[~narrow]
+            if not wide.size:
+                break
+            step = 2 ** (tiers[t_i + 1] - Lt)
+            active = (step * wide[:, None]
+                      + np.arange(step)[None, :]).reshape(-1)
+        self._bucket_specs = specs
+        self._buckets = None
+        self.max_open = max(f for *_, f in specs)
+
+    @property
+    def buckets(self):
+        """(xg, gc, gr, rows, F) per width bucket. Fused builds store
+        only (level, indices, F) specs; the device gathers happen here on
+        first use (so the build itself never dispatches them)."""
+        if self._buckets is None:
+            t = self.tree
+            d = t.points.shape[1]
+            out = []
+            for Lt, idx, F in self._bucket_specs:
+                nl = 2**Lt
+                G = self._tgt_P // nl
+                xg = t.points.reshape(nl, G, d)[idx]
+                gc = t.centers[Lt][idx]
+                gr = t.radii[Lt][idx]
+                rows = idx[:, None] * G + np.arange(G)[None, :]
+                out.append((xg, gc, gr, rows, F))
+            self._buckets = out
+        return self._buckets
 
     @property
     def is_symmetric(self):
@@ -369,7 +507,7 @@ class BarnesHutFactorization(LinearOperator):
         t = self.tree
         P = t.points.shape[0]
         vp = jnp.concatenate([v, jnp.zeros((P - self.m,), dtype=v.dtype)])
-        return vp[jnp.asarray(t.perm)]
+        return vp[t.perm_dev]
 
     def _matvec(self, v, fixed_centers: bool = False):
         t = self.tree

@@ -19,23 +19,88 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@dataclasses.dataclass
 class BalancedTree:
-    perm: np.ndarray          # (P,) permutation into padded points
-    points: jnp.ndarray       # (P, d) permuted (padded) points
-    pad: int                  # number of padded duplicate points at play
-    leafsize: int
-    levels: int               # L: number of internal levels; leaves = 2^L
-    centers: list             # per level l: (2^l, d) geometric centers
-    radii: list               # per level l: (2^l,) covering radii
-    centers_np: list = None   # numpy mirrors for host-side probes
-    radii_np: list = None
-    points_np: np.ndarray = None  # numpy mirror of `points` (free on host
-                                  # builds; saves a tunnel D2H per consumer)
+    """Complete balanced tree in fixed arrays. Host mirrors (`perm`,
+    `points_np`, `centers_np`, `radii_np`) are LAZY on device builds: the
+    packed device buffer is fetched on first access (the D2H transfer is
+    ~25 MB at n = 10^6 over a ~30 MB/s tunnel and dominated the build for
+    consumers — Barnes-Hut — that never touch the mirrors)."""
+
+    def __init__(self, *, points, pad, leafsize, levels, centers, radii,
+                 perm=None, perm_dev=None, packed=None,
+                 centers_np=None, radii_np=None, points_np=None):
+        self.points = points      # (P, d) permuted (padded) device points
+        self.pad = pad            # number of padded duplicate points
+        self.leafsize = leafsize
+        self.levels = levels      # L: internal levels; leaves = 2^L
+        self.centers = centers    # per level l: (2^l, d) device centers
+        self.radii = radii        # per level l: (2^l,) device radii
+        self._perm = perm         # (P,) host permutation into padded points
+        self._perm_dev = perm_dev
+        self._packed = packed     # int32 device buffer for lazy mirrors
+        self._centers_np = centers_np
+        self._radii_np = radii_np
+        self._points_np = points_np
 
     @property
     def n_leaves(self):
         return 2 ** self.levels
+
+    def _unpack(self):
+        """ONE packed D2H fetch materializes every host mirror."""
+        P, d = self.points.shape
+        L = self.levels
+        if self._packed is None:  # tree built without mirrors (fused BH)
+            import jax
+            f = lambda a: jnp.asarray(a, jnp.float32)  # mirror payload is f32
+            self._packed = jax.jit(_pack_mirrors)(
+                self._perm_dev, f(self.points),
+                tuple(f(c) for c in self.centers),
+                tuple(f(r) for r in self.radii))
+        buf = np.asarray(self._packed)  # int32; float payload bitcast back
+        f32 = lambda a: a.view(np.float32)
+        o = 0
+        self._perm = buf[o:o + P]; o += P
+        self._points_np = f32(buf[o:o + P * d]).reshape(P, d); o += P * d
+        cs, rs = [], []
+        for l in range(L + 1):
+            cs.append(f32(buf[o:o + (2**l) * d]).reshape(2**l, d))
+            o += (2**l) * d
+        for l in range(L + 1):
+            rs.append(f32(buf[o:o + 2**l])); o += 2**l
+        self._centers_np, self._radii_np = cs, rs
+        assert self._perm.min() >= 0 and self._perm.max() < P
+
+    @property
+    def perm(self):
+        if self._perm is None:
+            self._unpack()
+        return self._perm
+
+    @property
+    def perm_dev(self):
+        """Device permutation (no host round trip on device builds)."""
+        if self._perm_dev is None:
+            self._perm_dev = jnp.asarray(self.perm)
+        return self._perm_dev
+
+    @property
+    def points_np(self):
+        if self._points_np is None:
+            self._unpack()
+        return self._points_np
+
+    @property
+    def centers_np(self):
+        if self._centers_np is None:
+            self._unpack()
+        return self._centers_np
+
+    @property
+    def radii_np(self):
+        if self._radii_np is None:
+            self._unpack()
+        return self._radii_np
 
 
 def build_tree(y, leafsize: int = 16, method: str = "auto") -> BalancedTree:
@@ -261,8 +326,8 @@ def _hilbert_transpose_jnp(q, bits, d):
     return [x ^ t for x in X]
 
 
-def _tree_device_impl(yp, bits, d, L, ls):
-    """One jitted program: Hilbert codes, argsort, permute, per-level
+def _tree_core(yp, bits, d, L, ls):
+    """Device tree build: Hilbert codes, argsort, permute, per-level
     bounding boxes bottom-up, exact leaf radii + triangle-bound internal
     radii. Codes are uint32 (TPU has no native 64-bit ints), so
     bits*d <= 30 — the auto gate restricts the device path to d <= 4."""
@@ -299,18 +364,27 @@ def _tree_device_impl(yp, bits, d, L, ls):
         off = jnp.sqrt(((cc - centers[l][:, None, :]) ** 2).sum(-1))
         radii[l] = jnp.minimum(radii[l], (rc + off).max(axis=1))
     perm = perm.astype(jnp.int32)
-    # pack every host-mirror into ONE flat INT32 buffer: device_get on a
-    # pytree fetches each leaf separately (2L+2 tunnel round trips); one
-    # packed fetch costs one. The buffer is integer-typed with the f32
-    # payload bitcast INTO it (not the int perm bitcast to f32: perm
-    # values 0..P-1 are all denormal f32 bit patterns, and any pass that
-    # flushes denormals would silently zero the permutation — ADVICE r2).
+    return perm, points, tuple(centers), tuple(radii)
+
+
+def _pack_mirrors(perm, points, centers, radii):
+    """Pack every host-mirror into ONE flat INT32 buffer: device_get on a
+    pytree fetches each leaf separately (2L+2 tunnel round trips); one
+    packed fetch costs one. The buffer is integer-typed with the f32
+    payload bitcast INTO it (not the int perm bitcast to f32: perm
+    values 0..P-1 are all denormal f32 bit patterns, and any pass that
+    flushes denormals would silently zero the permutation — ADVICE r2)."""
     import jax as _jax
     b32 = lambda a: _jax.lax.bitcast_convert_type(a, jnp.int32)
-    packed = jnp.concatenate(
+    return jnp.concatenate(
         [perm, b32(points.ravel())]
         + [b32(c.ravel()) for c in centers] + [b32(r.ravel()) for r in radii])
-    return perm, points, tuple(centers), tuple(radii), packed
+
+
+def _tree_device_impl(yp, bits, d, L, ls):
+    perm, points, centers, radii = _tree_core(yp, bits, d, L, ls)
+    return perm, points, centers, radii, _pack_mirrors(perm, points,
+                                                       centers, radii)
 
 
 _tree_device_jit = None
@@ -334,28 +408,16 @@ def _build_tree_device(y, m, d, L, ls, P, pad) -> BalancedTree:
         yj = jnp.concatenate([yj, jnp.broadcast_to(yj[-1:], (pad, d))], axis=0)
     perm, points, centers, radii, packed = _tree_device_jit(
         yj, bits=bits, d=d, L=L, ls=ls)
-    # host mirrors in ONE device->host transfer (the tunnel round trip is
-    # ~36 ms regardless of payload; per-array fetches dominated the build)
-    buf = np.asarray(packed)  # int32; float payload bitcast back below
-    f32 = lambda a: a.view(np.float32)
-    o = 0
-    perm_np = buf[o:o + P]; o += P
-    points_np = f32(buf[o:o + P * d]).reshape(P, d); o += P * d
-    centers_np, radii_np = [], []
-    for l in range(L + 1):
-        centers_np.append(f32(buf[o:o + (2**l) * d]).reshape(2**l, d)); o += (2**l) * d
-    for l in range(L + 1):
-        radii_np.append(f32(buf[o:o + 2**l])); o += 2**l
-    assert perm_np.min() >= 0 and perm_np.max() < P
+    # host mirrors stay on device until a consumer touches one: the
+    # packed D2H fetch (~25 MB at n = 10^6, one tunnel round trip) is
+    # deferred to BalancedTree._unpack — Barnes-Hut never pays it
     return BalancedTree(
-        perm=perm_np,
         points=points,
         pad=pad,
         leafsize=ls,
         levels=L,
         centers=list(centers),
         radii=list(radii),
-        centers_np=list(centers_np),
-        radii_np=list(radii_np),
-        points_np=points_np,
+        perm_dev=perm,
+        packed=packed,
     )

@@ -192,8 +192,10 @@ def gramian(k, x, y=None, **opts):
         if grid is not None and same:
             span = grid.step * grid.num
             if np.isclose(span, round(span)) and round(span) >= 1:
-                col = _grid_col(k, grid.start, grid.step, grid.start, grid.num)
-                return CirculantOperator(col)
+                g_ = grid
+                return CirculantOperator(
+                    lambda: _grid_col(k, g_.start, g_.step, g_.start, g_.num),
+                    num=grid.num)
         xp = as_points(x)
         emb = jnp.concatenate(
             [jnp.cos(2 * jnp.pi * xp), jnp.sin(2 * jnp.pi * xp)], axis=1
@@ -244,13 +246,18 @@ def gramian(k, x, y=None, **opts):
         InputTrait.STATIONARY_LINEAR_FUNCTIONAL,
     ):
         if same:
-            col = _grid_col(k, gx.start, gx.step, gx.start, gx.num)
-            return ToeplitzOperator(col)
+            # lazy column: construction is O(1) host work (the reference's
+            # Kronecker of grid gramians constructs in 23 us because no
+            # kernel is evaluated until use, src/algebra.jl:91-95)
+            return ToeplitzOperator(
+                lambda: _grid_col(k, gx.start, gx.step, gx.start, gx.num),
+                num=gx.num)
         gy = _uniform_grid_of(y)
         if gy is not None and np.isclose(gx.step, gy.step) and gx.num == gy.num:
-            col = _grid_col(k, gy.start, gx.step, gx.start, gx.num)
-            row = _grid_col(k, gx.start, gy.step, gy.start, gy.num)
-            return ToeplitzOperator(col, row)
+            return ToeplitzOperator(
+                lambda: _grid_col(k, gy.start, gx.step, gx.start, gx.num),
+                lambda: _grid_col(k, gx.start, gy.step, gy.start, gy.num),
+                num=gx.num)
 
     # 9. fallback: lazy blocked/Pallas Gramian
     return Gramian(k, x, None if same else y, **opts)

@@ -66,11 +66,27 @@ class CirculantOperator(LinearOperator):
     """Lazy circulant matrix (reference `Circulant` path, src/gramian.jl:186-189):
     O(n) storage, FFT MVM, exact spectral solve."""
 
-    def __init__(self, c):
-        self.c = jnp.asarray(c)
-        n = self.c.shape[0]
+    def __init__(self, c, *, num=None, dtype=None):
+        """`c` may be the first column, or a zero-arg callable returning
+        it (with `num` giving the size): construction is then O(1) with
+        no device dispatch, matching the reference's lazy semantics
+        (src/gramian.jl:186-189 builds the symbol eagerly but the
+        Kronecker path src/algebra.jl:91-95 constructs lazily)."""
+        if callable(c):
+            self._c_src = c
+            n = num
+            self.dtype = jnp.result_type(float) if dtype is None else jnp.dtype(dtype)
+        else:
+            self._c_src = jnp.asarray(c)
+            n = self._c_src.shape[0]
+            self.dtype = self._c_src.dtype
         self.shape = (n, n)
-        self.dtype = self.c.dtype
+
+    @property
+    def c(self):
+        if callable(self._c_src):
+            self._c_src = jnp.asarray(self._c_src())
+        return self._c_src
 
     @property
     def is_symmetric(self):
@@ -114,15 +130,40 @@ class ToeplitzOperator(LinearOperator):
     """Lazy (possibly non-symmetric) Toeplitz matrix: O(n) storage, FFT MVM
     (reference SymmetricToeplitz/Toeplitz gramians, src/gramian.jl:167-183)."""
 
-    def __init__(self, col, row=None):
-        self.col = jnp.asarray(col)
-        self.row = self.col if row is None else jnp.asarray(row)
-        n = self.col.shape[0]
-        self.shape = (n, self.row.shape[0])
-        if self.shape[0] != self.shape[1]:
+    def __init__(self, col, row=None, *, num=None, dtype=None):
+        """`col`/`row` may be zero-arg callables (with `num` giving the
+        size): construction is then O(1) host work, no device dispatch —
+        the column evaluates on first use (lazy, like the reference's
+        Kronecker-factor gramians, src/algebra.jl:91-95)."""
+        if callable(col):
+            self._col_src = col
+            n = num
+            self.dtype = jnp.result_type(float) if dtype is None else jnp.dtype(dtype)
+        else:
+            self._col_src = jnp.asarray(col)
+            n = self._col_src.shape[0]
+            self.dtype = self._col_src.dtype
+        self._row_src = (row if row is None or callable(row)
+                         else jnp.asarray(row))
+        if (not callable(col) and row is not None and not callable(row)
+                and self._col_src.shape[0] != self._row_src.shape[0]):
             raise ValueError("only square Toeplitz supported")
-        self.dtype = self.col.dtype
+        self.shape = (n, n)
         self._sym = row is None
+
+    @property
+    def col(self):
+        if callable(self._col_src):
+            self._col_src = jnp.asarray(self._col_src())
+        return self._col_src
+
+    @property
+    def row(self):
+        if self._row_src is None:
+            return self.col
+        if callable(self._row_src):
+            self._row_src = jnp.asarray(self._row_src())
+        return self._row_src
 
     @property
     def is_symmetric(self):
