@@ -316,12 +316,16 @@ def bench_barneshut():
     x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
     w = jnp.asarray(rng.uniform(0, 1, n), dtype=jnp.float32)
     BarnesHutFactorization(EQ(), x, theta=0.5)  # warm the build jits
-    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
-    t0 = time.perf_counter()
-    F = BarnesHutFactorization(EQ(), x, theta=0.5)
-    record("barneshut_build_n65536_d2", time.perf_counter() - t0, 0.077,
-           note="warm wall clock (device tree build + host probes); "
-                "first-ever build adds one-time jit compiles")
+    best = float("inf")
+    for _ in range(3):  # min-of-3: single builds carry ~40 ms tunnel-RTT jitter
+        x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+        t0 = time.perf_counter()
+        F = BarnesHutFactorization(EQ(), x, theta=0.5)
+        best = min(best, time.perf_counter() - t0)
+    record("barneshut_build_n65536_d2", best, 0.077,
+           note="warm wall clock, min of 3 fresh-point builds (device "
+                "tree build + host probes); first-ever build adds "
+                "one-time jit compiles")
     dt = timed(F._matvec, w, iters=(2, 18))
     b = F @ w
     idx = rng.integers(0, n, 256)
@@ -344,11 +348,15 @@ def bench_barneshut():
     x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
     w3 = jnp.asarray(rng.uniform(0, 1, n3), dtype=jnp.float32)
     BarnesHutFactorization(EQ(), x3, theta=0.5)  # warm the build jits
-    x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
-    t0 = time.perf_counter()
-    F3 = BarnesHutFactorization(EQ(), x3, theta=0.5)
-    record("barneshut_build_n1e6_d2", time.perf_counter() - t0, float("nan"),
-           note="warm wall clock (device tree build + host probes)")
+    best = float("inf")
+    for _ in range(3):
+        x3 = jnp.asarray(rng.standard_normal((n3, 2)), dtype=jnp.float32)
+        t0 = time.perf_counter()
+        F3 = BarnesHutFactorization(EQ(), x3, theta=0.5)
+        best = min(best, time.perf_counter() - t0)
+    record("barneshut_build_n1e6_d2", best, float("nan"),
+           note="warm wall clock, min of 3 fresh-point builds (device "
+                "tree build + host probes)")
     dt3 = timed(F3._matvec, w3, iters=(2, 10))
     b3 = F3 @ w3
     idx3 = rng.integers(0, n3, 16)
@@ -373,26 +381,30 @@ def bench_barneshut():
     k5 = Lengthscale(EQ(), 1.0)
     yv = jnp.sin(x3[:, 0]) + 0.1 * w3
     G5 = gramian(k5, x3)
-    nystrom_preconditioner(k5, x3, sigma2, rank=512)  # warm the build jits
+    rank5 = 1024
+    nystrom_preconditioner(k5, x3, sigma2, rank=rank5)  # warm the build jits
     t0 = time.perf_counter()
-    M5 = nystrom_preconditioner(k5, x3, sigma2, rank=512)
-    record("nystrom_precond_build_rank512_n1e6", time.perf_counter() - t0,
+    M5 = nystrom_preconditioner(k5, x3, sigma2, rank=rank5)
+    record(f"nystrom_precond_build_rank{rank5}_n1e6", time.perf_counter() - t0,
            float("nan"),
-           note="config-5 critical path: rank-512 Nystrom preconditioner "
-                "build (host-f64 eigh of the 512x512 core), warm wall "
-                "clock")
+           note="config-5 critical path: device-f32 Nystrom build (f32 "
+                "panel + float-float Gram, host f64 only for the two "
+                "r x r eigh) — the r3 host-f64 build shipped a 2 GB "
+                "panel and cost 97 s here; warm wall clock")
     Kmv = lambda v: G5._matvec(v) + sigma2 * v
-    solve = jax.jit(lambda b: cg(Kmv, b, tol=1e-4, maxiter=50, M=M5))
-    alpha, (it0, res0) = solve(yv)           # compile + run
+    # NO outer jit: it would bake the (n, rank) panel closure into one
+    # compile request (HTTP 413 over the remote-compile tunnel at
+    # rank >= 1024); cg's while_loop passes it as an operand instead
+    alpha, (it0, res0) = cg(Kmv, yv, tol=1e-4, maxiter=60, M=M5)
     jax.block_until_ready(alpha)
     t0 = time.perf_counter()
-    alpha, (iters5, res5) = solve(yv)
+    alpha, (iters5, res5) = cg(Kmv, yv, tol=1e-4, maxiter=60, M=M5)
     jax.block_until_ready(alpha)
     dt5 = time.perf_counter() - t0
     relres = float(res5) / float(jnp.linalg.norm(yv))
     record("gp_solve_nystrom_pcg_exact_n1e6", dt5, float("nan"),
            note=f"{int(iters5)} PCG iters to rel res {relres:.1e} "
-                f"(exact lazy MVM, rank-512 Nystrom, sigma^2 {sigma2}); "
+                f"(exact lazy MVM, rank-{rank5} Nystrom, sigma^2 {sigma2}); "
                 f"BASELINE config 5")
 
 
@@ -486,9 +498,14 @@ def bench_logml():
     n20 = 1 << 20
     x20 = jnp.asarray(rng.standard_normal((n20, 2)), dtype=jnp.float32)
     y20 = jnp.asarray(rng.standard_normal(n20), dtype=jnp.float32)
-    h = jax.jit(lambda yy: log_marginal_likelihood(
+    # NO outer jit: fusing the whole logML into one device program makes
+    # a single ~2-minute XLA execution, which trips the remote-compile
+    # tunnel's RPC deadline ("TPU device error", reproduced twice r4).
+    # Un-jitted, the Lanczos scan and the CG while_loop dispatch as
+    # separate ~40 s programs and survive.
+    h = lambda yy: log_marginal_likelihood(
         EQ(), x20, yy, noise=3e-1, method="slq", probes=4,
-        lanczos_iters=24, solve_tol=1e-3, solve_maxiter=50))
+        lanczos_iters=24, solve_tol=1e-3, solve_maxiter=40)
     jax.block_until_ready(h(y20))
     t0 = time.perf_counter()
     v20 = h(y20)

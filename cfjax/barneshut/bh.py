@@ -26,6 +26,7 @@ branch-free for signed ones.
 from __future__ import annotations
 
 from functools import partial
+from math import comb as _comb
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,51 @@ def _sqd(xb, c):
     from ..ops.tiles import sqdist_tile
 
     return sqdist_tile(xb, c)
+
+
+_LETTERS = "ijklmn"  # tensor-order alphabet: supports order <= 6
+
+
+def _prof_derivs(prof, s, p):
+    """(f, f', ..., f^(p)) elementwise via nested jvp — works for any
+    jvp-differentiable profile, no jet primitive coverage needed."""
+    fns = [prof]
+    for _ in range(p):
+        fprev = fns[-1]
+        fns.append(lambda t, f=fprev: jax.jvp(f, (t,), (jnp.ones_like(t),))[1])
+    return [fn(s) for fn in fns]
+
+
+def _node_moments(wl, delta, order):
+    """Tensor moments M_{a,b}[node, i1..ia] = sum_j w_j |d_j|^(2b) d_j^(x a)
+    for every (a, b) with 1 <= a+b and a + 2b <= order. The general-order
+    analogue of the reference's (unused) PowersArray scaffold
+    (src/taylor.jl:62-85): the reference stops at the dipole (a=1, b=0,
+    src/taylor.jl:43-50); these moments drive an order-p expansion."""
+    out = {}
+    d2j = jnp.sum(delta * delta, axis=2)  # (nl, Pl)
+    for a in range(0, order + 1):
+        for b in range(0, (order - a) // 2 + 1):
+            if a + b == 0:
+                continue  # (0,0) is the plain node sum S
+            wgt = wl * d2j**b if b else wl
+            if a == 0:
+                out[(a, b)] = jnp.sum(wgt, axis=1)
+                continue
+            letters = _LETTERS[:a]
+            sub = ("np," + ",".join("np" + c for c in letters)
+                   + "->n" + letters)
+            out[(a, b)] = jnp.einsum(sub, wgt, *([delta] * a))
+    return out
+
+
+def _moment_contract(rc, Mc, a):
+    """<r^(x a), M> per (target, frontier-slot): (G,2F,d)x(2F,d^a)->(G,2F)."""
+    if a == 0:
+        return Mc[None, :]
+    letters = _LETTERS[:a]
+    sub = (",".join("gf" + c for c in letters) + ",f" + letters + "->gf")
+    return jnp.einsum(sub, *([rc] * a), Mc)
 
 
 @partial(jax.jit, static_argnames=("levels", "leafsize", "max_open", "order",
@@ -86,9 +132,12 @@ def bh_matvec(
     nleaf = 2**levels
     F = max_open
 
-    # per-level node sums / |w|-coms / dipole (+ optional quadrupole)
-    # moments (reshape-reductions)
-    S_l, com_l, mu_l, Q_l = [], [], [], []
+    if order > len(_LETTERS):
+        raise ValueError(f"far-field order > {len(_LETTERS)} not supported")
+
+    # per-level node sums / |w|-coms / dipole (+ optional quadrupole /
+    # general order-p tensor) moments (reshape-reductions)
+    S_l, com_l, mu_l, Q_l, M_l = [], [], [], [], []
     aw = jnp.ones_like(w) if fixed_centers else jnp.abs(w)
     eps = jnp.finfo(w.dtype).eps
     for l in range(levels + 1):
@@ -105,14 +154,16 @@ def bh_matvec(
         S_l.append(S)
         com_l.append(com)
         mu_l.append((mu, jnp.sum(com * mu, axis=1)))
-        if order >= 2:
+        if order == 2:
             Q = jnp.einsum("npd,npe->nde", wl[:, :, None] * delta, delta)
             Q_l.append((Q, jnp.trace(Q, axis1=1, axis2=2)))
+        elif order >= 3:
+            M_l.append(_node_moments(wl, delta, order))
 
     theta2 = theta * theta
     leaf_pts = tree_points.reshape(nleaf, leafsize, d)
     leaf_w = w.reshape(nleaf, leafsize)
-    if order >= 2:
+    if order == 2:
         def _prof_d2(s):
             f1fn = lambda t: jax.jvp(k.profile, (t,), (jnp.ones_like(t),))[1]
             f0 = k.profile(s)
@@ -142,19 +193,43 @@ def bh_matvec(
             # dense far-field for all targets in the group
             comc = com[cand]                     # (2F, d)
             D2 = _sqd(xt, comc)                  # (G, 2F)
-            if order >= 2:
-                f0, f1, f2 = _prof_d2(D2)
-            else:
-                f0, f1 = vg(D2)
-            xdotmu = xt @ mu[cand].T             # (G, 2F)
-            contrib = f0 * S[cand][None, :] - 2.0 * f1 * (
-                xdotmu - commu[cand][None, :]
-            )
-            if order >= 2:
-                Qc, trQc = Q_l[l][0][cand], Q_l[l][1][cand]  # (2F,d,d),(2F,)
+            if order >= 3:
+                # general order-p: k(|x-y|^2) = sum_m f^(m)(s0)/m! u^m with
+                # u = -2<r,delta> + |delta|^2, truncated to delta-order <= p
+                # via u^m = sum_a C(m,a)(-2)^a <r^(xa), M_{a,m-a}> keeping
+                # a + 2(m-a) <= p. Subsumes the dipole (reference
+                # src/taylor.jl:43-50) at p=1 and the quadrupole at p=2.
+                fs = _prof_derivs(k.profile, D2, order)
+                contrib = fs[0] * S[cand][None, :]
                 rc = xt[:, None, :] - comc[None, :, :]       # (G, 2F, d)
-                rQr = jnp.einsum("gfd,fde,gfe->gf", rc, Qc, rc)
-                contrib = contrib + 2.0 * f2 * rQr + f1 * trQc[None, :]
+                fact = 1.0
+                for m_ in range(1, order + 1):
+                    fact *= m_
+                    term = None
+                    for a_ in range(m_, -1, -1):
+                        b_ = m_ - a_
+                        if a_ + 2 * b_ > order:
+                            continue
+                        coef = _comb(m_, a_) * (-2.0) ** a_
+                        t = coef * _moment_contract(
+                            rc, M_l[l][(a_, b_)][cand], a_)
+                        term = t if term is None else term + t
+                    if term is not None:
+                        contrib = contrib + (fs[m_] / fact) * term
+            else:
+                if order == 2:
+                    f0, f1, f2 = _prof_d2(D2)
+                else:
+                    f0, f1 = vg(D2)
+                xdotmu = xt @ mu[cand].T             # (G, 2F)
+                contrib = f0 * S[cand][None, :] - 2.0 * f1 * (
+                    xdotmu - commu[cand][None, :]
+                )
+                if order == 2:
+                    Qc, trQc = Q_l[l][0][cand], Q_l[l][1][cand]  # (2F,d,d)
+                    rc = xt[:, None, :] - comc[None, :, :]       # (G, 2F, d)
+                    rQr = jnp.einsum("gfd,fde,gfe->gf", rc, Qc, rc)
+                    contrib = contrib + 2.0 * f2 * rQr + f1 * trQc[None, :]
             acc = acc + jnp.sum(jnp.where(far[None, :], contrib, 0.0), axis=1)
             overflow = jnp.maximum(overflow, jnp.sum(open_) - F)
             vals_k, pos = jax.lax.top_k(open_.astype(jnp.int32), F)
@@ -488,14 +563,18 @@ class BarnesHutFactorization(LinearOperator):
             t = self.tree
             d = t.points.shape[1]
             out = []
-            for Lt, idx, F in self._bucket_specs:
-                nl = 2**Lt
-                G = self._tgt_P // nl
-                xg = t.points.reshape(nl, G, d)[idx]
-                gc = t.centers[Lt][idx]
-                gr = t.radii[Lt][idx]
-                rows = idx[:, None] * G + np.arange(G)[None, :]
-                out.append((xg, gc, gr, rows, F))
+            # first use may be inside a jit trace (closure_convert of a
+            # consumer's matvec): evaluate the gathers OUTSIDE the trace
+            # so the cached buckets are concrete, never leaked tracers
+            with jax.ensure_compile_time_eval():
+                for Lt, idx, F in self._bucket_specs:
+                    nl = 2**Lt
+                    G = self._tgt_P // nl
+                    xg = t.points.reshape(nl, G, d)[idx]
+                    gc = t.centers[Lt][idx]
+                    gr = t.radii[Lt][idx]
+                    rows = idx[:, None] * G + np.arange(G)[None, :]
+                    out.append((xg, gc, gr, rows, F))
             self._buckets = out
         return self._buckets
 

@@ -52,11 +52,15 @@ class BalancedTree:
         L = self.levels
         if self._packed is None:  # tree built without mirrors (fused BH)
             import jax
-            f = lambda a: jnp.asarray(a, jnp.float32)  # mirror payload is f32
-            self._packed = jax.jit(_pack_mirrors)(
-                self._perm_dev, f(self.points),
-                tuple(f(c) for c in self.centers),
-                tuple(f(r) for r in self.radii))
+
+            # run eagerly even if a consumer trace is live (the fetch
+            # below needs a concrete buffer)
+            with jax.ensure_compile_time_eval():
+                f = lambda a: jnp.asarray(a, jnp.float32)  # payload is f32
+                self._packed = jax.jit(_pack_mirrors)(
+                    self._perm_dev, f(self.points),
+                    tuple(f(c) for c in self.centers),
+                    tuple(f(r) for r in self.radii))
         buf = np.asarray(self._packed)  # int32; float payload bitcast back
         f32 = lambda a: a.view(np.float32)
         o = 0
@@ -81,7 +85,11 @@ class BalancedTree:
     def perm_dev(self):
         """Device permutation (no host round trip on device builds)."""
         if self._perm_dev is None:
-            self._perm_dev = jnp.asarray(self.perm)
+            import jax
+
+            # first use may be inside a jit trace: keep the cache concrete
+            with jax.ensure_compile_time_eval():
+                self._perm_dev = jnp.asarray(self.perm)
         return self._perm_dev
 
     @property

@@ -302,3 +302,123 @@ def _trailing_ones(i):
         c = c + take.astype(jnp.int32)
         done = done | ~bit
     return c
+
+
+def nuts_sample_host(
+    logdensity,
+    theta0,
+    key,
+    num_samples: int = 100,
+    num_warmup: int = 50,
+    max_tree_depth: int = 6,
+    init_step: float = 0.1,
+    target_accept: float = 0.8,
+    max_delta_energy: float = 1000.0,
+    verbose: bool = False,
+):
+    """Host-loop NUTS: the same algorithm as `nuts_sample` (dynamic
+    doubling, multinomial state sampling, dual-averaging warmup) but the
+    tree is built by HOST recursion, each leapfrog dispatching
+    `value_and_grad(logdensity)` as its own device program.
+
+    Use this when ONE likelihood evaluation is seconds-to-minutes of
+    device time (e.g. the n >= 2^20 SLQ logML): the jitted `nuts_sample`
+    fuses the whole chain into a single XLA program, which would be a
+    multi-hour device execution (and trips remote-execution RPC
+    deadlines); here every device program stays at single-evaluation
+    granularity, with only O(tree depth) host-device round trips of
+    2-vectors on top. Returns (samples (num_samples, dim),
+    mean_accept_stat) like `nuts_sample`."""
+    import numpy as np
+
+    theta0 = np.asarray(theta0, dtype=float)
+    dim = theta0.shape[0]
+    vg_dev = jax.value_and_grad(logdensity)
+
+    def vg(th):
+        ld, g = vg_dev(jnp.asarray(th))
+        return float(ld), np.asarray(g, dtype=float)
+
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    def leapfrog(th, p, g, eps):
+        ph = p + 0.5 * eps * g
+        th2 = th + eps * ph
+        ld2, g2 = vg(th2)
+        p2 = ph + 0.5 * eps * g2
+        return th2, p2, g2, ld2
+
+    def build(th, p, g, depth, v, eps, H0):
+        """Subtree of 2^depth leaves from (th, p, g) in direction v.
+        Returns (minus_state, plus_state, proposal, logw, ok, asum,
+        aleaves); states are (th, p, g)."""
+        if depth == 0:
+            th2, p2, g2, ld2 = leapfrog(th, p, g, v * eps)
+            H = ld2 - 0.5 * float(np.sum(p2 * p2))
+            div = not np.isfinite(H) or (H0 - H) > max_delta_energy
+            a = min(1.0, float(np.exp(min(H - H0, 0.0)))) if np.isfinite(H) else 0.0
+            st = (th2, p2, g2)
+            return st, st, th2, (H if not div else -np.inf), (not div), a, 1
+        m1, p1_, prop1, lw1, ok1, a1, n1 = build(th, p, g, depth - 1, v, eps, H0)
+        if not ok1:
+            return m1, p1_, prop1, lw1, False, a1, n1
+        edge = p1_ if v > 0 else m1
+        m2, p2_, prop2, lw2, ok2, a2, n2 = build(
+            edge[0], edge[1], edge[2], depth - 1, v, eps, H0)
+        minus = m1 if v > 0 else m2
+        plus = p2_ if v > 0 else p1_
+        lw = np.logaddexp(lw1, lw2)
+        prop = prop2 if (np.log(rng.uniform() + 1e-300) < lw2 - lw) else prop1
+        dth = plus[0] - minus[0]
+        uturn = (np.dot(dth, minus[1]) < 0) or (np.dot(dth, plus[1]) < 0)
+        return minus, plus, prop, lw, (ok2 and not uturn), a1 + a2, n1 + n2
+
+    ld0, g0 = vg(theta0)
+    th = theta0
+    ld, g = ld0, g0
+    eps = float(init_step)
+    h_bar, log_eps_bar = 0.0, float(np.log(init_step))
+    samples = np.empty((num_samples, dim))
+    astats = []
+    for i in range(num_warmup + num_samples):
+        p0 = rng.standard_normal(dim)
+        H0 = ld - 0.5 * float(np.sum(p0 * p0))
+        minus = plus = (th, p0, g)
+        prop, lw = th, H0
+        asum, aleaves = 0.0, 0
+        for depth in range(max_tree_depth):
+            v = 1 if rng.uniform() < 0.5 else -1
+            edge = plus if v > 0 else minus
+            m2, p2_, prop2, lw2, ok, a2, n2 = build(
+                edge[0], edge[1], edge[2], depth, v, eps, H0)
+            asum += a2
+            aleaves += n2
+            if not ok:
+                break
+            # biased progressive sampling (favors the new subtree)
+            if np.log(rng.uniform() + 1e-300) < lw2 - lw:
+                prop = prop2
+            lw = np.logaddexp(lw, lw2)
+            minus = m2 if v < 0 else minus
+            plus = p2_ if v > 0 else plus
+            dth = plus[0] - minus[0]
+            if (np.dot(dth, minus[1]) < 0) or (np.dot(dth, plus[1]) < 0):
+                break
+        if prop is not th:
+            th = prop
+            ld, g = vg(th)
+        accept_stat = asum / max(aleaves, 1)
+        if i < num_warmup:
+            h_bar, log_eps_bar, log_eps = _dual_averaging_update(
+                h_bar, log_eps_bar, accept_stat, i, init_step, target_accept)
+            eps = float(jnp.exp(log_eps))
+        else:
+            eps = float(jnp.exp(log_eps_bar)) if num_warmup else eps
+            samples[i - num_warmup] = th
+            astats.append(accept_stat)
+        if verbose:
+            print(f"  nuts_host step {i + 1}/{num_warmup + num_samples}: "
+                  f"eps={eps:.4f} accept_stat={accept_stat:.2f} "
+                  f"leaves={aleaves}", flush=True)
+    return jnp.asarray(samples), jnp.asarray(np.mean(astats) if astats else 0.0)

@@ -16,20 +16,24 @@ per CG iteration, entirely fast-path work:
     P^-1 v = (v - U E diag(1/(s+sigma^2)) E^T U^T v) / sigma^2,
     (s, E) = eigh(U^T U).
 
-PRECISION (all measured on the v5e chip, round 3): the BUILD must run in
-f64. The columns of U for small Nystrom eigenvalues come from strongly
-cancelling products amplified by 1/sqrt(w); with f32 panels (or the
-bf16-6-pass MXU 'highest' matmul, rel err 2.8e-6) every mode below
-~3e-6 * lambda_max is junk — and exactly those modes (down to
-sigma^2/lambda_max ~ 1e-7) are what the preconditioner exists to damp.
-Device-f32-built M stalled PCG at relres 2.5e-2 (n=32768) and diverged
-at n=1e5; the SAME solve with a host-f64-built M converges in 3-4
-iterations. The APPLY is fine in f32 (validated by the same bisect).
+PRECISION (all measured on the v5e chip, round 3): the spectral part of
+the build needs f64. Forming U = K_xz Kzz^{-1/2} in f32 poisons the
+small-eigenvalue modes (strongly cancelling products amplified by
+1/sqrt(w): every mode below ~3e-6 * lambda_max is junk, and the modes
+down to sigma^2/lambda_max ~ 1e-7 are what the preconditioner exists to
+damp) — device-f32-built M stalled PCG at relres 2.5e-2 (n=32768) and
+diverged at n=1e5, while an f64 build converges in 3-4 iterations. The
+APPLY is fine in f32 (validated by the same bisect).
 
-The build therefore runs on the CPU backend under
-jax.enable_x64 — the kernel's own jnp profile evaluates in
-f64 on host, row-chunked so memory stays bounded — and only the final
-f32 U panel ships to the accelerator.
+Round 3 answered this with an all-host f64 build that SHIPPED the (n,r)
+U panel to the device — 2 GB at n=10^6 (a 97 s build over this
+environment's tunnel, and 2 GB of PCIe traffic anywhere). Round 4
+restructures the math so no ill-conditioned object is ever formed at
+f32 (see `nystrom_preconditioner`): the device only computes the RAW
+kernel panel P = K_xz and its Gram P^T P (float-float compensated
+accumulation, f64-class in pure f32 ops); everything
+dynamic-range-critical happens in f64 on the host at r x r size, and
+~3 MB crosses the host-device boundary in total.
 """
 
 from __future__ import annotations
@@ -83,28 +87,103 @@ def _build_nystrom_hostf64(k, x_np, noise, rank, seed):
     return U32, E.astype(np.float32), s.astype(np.float32)
 
 
-def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None):
+@partial(jax.jit, static_argnames=("chunk",))
+def _gram_ff(P, chunk: int = 2048):
+    """G = P^T P with FLOAT-FLOAT (TwoSum) accumulation across row
+    chunks: each chunk's (r, r) tile is an MXU matmul at HIGHEST input
+    precision (within-chunk f32-accumulator error ~ sqrt(chunk) * eps,
+    relative to the chunk norm); chunks combine into an (hi, lo) f32
+    pair with compensated summation, so the cross-chunk accumulation is
+    exact to ~eps^2. Net error ~1e-7 * ||G|| at n = 10^6 — f64-class,
+    computed entirely on device in f32 ops. Returns (hi, lo)."""
+    from ..ops.tiles import resolve_precision
+
+    n, r = P.shape
+    nb = -(-n // chunk)
+    Pp = jnp.pad(P, ((0, nb * chunk - n), (0, 0)))
+
+    def body(carry, Pc):
+        hi, lo = carry
+        C = jax.lax.dot_general(
+            Pc, Pc, (((0,), (0,)), ((), ())),
+            precision=resolve_precision("highest"))
+        s = hi + C
+        # TwoSum compensation: t = C - (s - hi) is exact when |hi| >= |C|
+        t = C - (s - hi)
+        return (s, lo + t), None
+
+    (hi, lo), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((r, r), P.dtype), jnp.zeros((r, r), P.dtype)),
+        Pp.reshape(nb, chunk, r),
+    )
+    return hi, lo
+
+
+def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
+                           floor_rel: float = 1e-8):
     """Returns apply(v) ~= (K + noise I)^-1 v for use as CG's `M`.
 
     `noise` is the variance added to the diagonal (sigma^2). The sketch
     uses `rank` uniformly-sampled landmark rows; memory is one (n, rank)
     f32 panel on device. SPD by construction (the capacitance is applied
-    through its eigendecomposition with s >= 0), so always a valid CG
-    preconditioner regardless of build accuracy."""
+    through its eigendecomposition with s >= 0).
+
+    TPU-native build (round 4): the r3 build ran entirely on the host in
+    f64 and SHIPPED the (n, r) U panel to the device — 2 GB at n = 10^6
+    (97 s over this environment's tunnel). The r4 build keeps the SAME
+    operator (U = K_xz V w^{-1/2}, Woodbury through eigh(U^T U)) but
+    computes every O(n)-sized object on device in f32, with two measured
+    precision repairs that make f32 sufficient (CPU-f64-simulated sweep,
+    r4; the r3 f32 build used floor 1e-12 + f32 Gram and diverged):
+
+      * eigenvalue floor w > floor_rel * w_max with floor_rel = 1e-8
+        (not 1e-12): modes below it are exactly the ones whose inv-sqrt
+        amplification poisons f32 — truncating them costs ~1 PCG
+        iteration at n = 2048 while making the f32 U product match the
+        f64 one (4-5 iters either way, vs 15+ at floor 1e-12);
+      * B = U^T U via float-float chunk accumulation (`_gram_ff`):
+        B's eigenvalues enter as s + sigma^2, and a plain f32 Gram's
+        sqrt(n) * eps accumulation error (~6e-5 ||B|| at n = 10^6)
+        would swamp sigma^2.
+
+    Host f64 does only the two r x r eigendecompositions; total
+    host<->device traffic is ~3 MB instead of 2 GB."""
     from ..utils.grids import as_points
+    from ..utils.testing import pairwise_xy
+    from ..ops.tiles import matmul_p
 
     seed = 0 if key is None else int(jax.random.randint(key, (), 0, 2**31 - 1))
-    xp = as_points(x)
-    x_np = np.asarray(xp)
-    U32, E, s = _build_nystrom_hostf64(k, x_np, float(noise), rank, seed)
-    U = jnp.asarray(U32)
-    E = jnp.asarray(E)
-    s = jnp.asarray(s)
-    noise = jnp.asarray(noise, U.dtype)
+    xp = jnp.asarray(as_points(x))
+    n = xp.shape[0]
+    rank = min(rank, n)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(n, rank, replace=False)
+    Z = xp[jnp.asarray(idx)]
+    # Kzz eigh in f64 on the host CPU backend (rank points — trivial)
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        Zh = jnp.asarray(np.asarray(Z), dtype=jnp.float64)
+        Kzz = np.asarray(pairwise_xy(k, Zh, Zh), dtype=np.float64)
+    Kzz = 0.5 * (Kzz + Kzz.T)
+    w, V = np.linalg.eigh(Kzz)
+    floor = max(float(w[-1]), 0.0) * floor_rel
+    inv_sqrt = np.where(w > floor, 1.0 / np.sqrt(np.maximum(w, floor)), 0.0)
+    W0 = jnp.asarray((V * inv_sqrt[None, :]).astype(np.float32))
+
+    P = _kernel_panel(k, xp, Z)                      # (n, r) f32, on device
+    U = matmul_p(P, W0, precision="highest")         # device f32 GEMM
+    hi, lo = _gram_ff(U)
+    B = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
+    s, E = np.linalg.eigh(0.5 * (B + B.T))
+    s = np.maximum(s, 0.0)
+    Ej = jnp.asarray(E.astype(np.float32))
+    sj = jnp.asarray(s.astype(np.float32))
+    nz = jnp.asarray(noise, U.dtype)
 
     def apply(v):
-        t = E.T @ (U.T @ v)
-        t = E @ (t / (s + noise))
-        return (v - U @ t) / noise
+        t = Ej.T @ (U.T @ v)
+        t = Ej @ (t / (sj + nz))
+        return (v - U @ t) / nz
 
     return apply

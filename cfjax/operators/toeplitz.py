@@ -23,6 +23,13 @@ from .linop import LinearOperator
 from .solvers import cg
 
 
+def _default_float():
+    """jnp.result_type(float) without the dtype-lattice walk (that call is
+    ~40% of a lazy Toeplitz construction — the Kronecker-construction
+    bench row is host-dispatch bound)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 # --------------------------------------------------------------------------
 # FFT MVMs
 # --------------------------------------------------------------------------
@@ -75,7 +82,7 @@ class CirculantOperator(LinearOperator):
         if callable(c):
             self._c_src = c
             n = num
-            self.dtype = jnp.result_type(float) if dtype is None else jnp.dtype(dtype)
+            self.dtype = _default_float() if dtype is None else jnp.dtype(dtype)
         else:
             self._c_src = jnp.asarray(c)
             n = self._c_src.shape[0]
@@ -85,7 +92,11 @@ class CirculantOperator(LinearOperator):
     @property
     def c(self):
         if callable(self._c_src):
-            self._c_src = jnp.asarray(self._c_src())
+            # evaluate OUTSIDE any live trace: first use may be inside a
+            # jit (e.g. closure_convert of a consumer's matvec), and
+            # caching a tracer here leaks it out of its trace
+            with jax.ensure_compile_time_eval():
+                self._c_src = jnp.asarray(self._c_src())
         return self._c_src
 
     @property
@@ -138,7 +149,7 @@ class ToeplitzOperator(LinearOperator):
         if callable(col):
             self._col_src = col
             n = num
-            self.dtype = jnp.result_type(float) if dtype is None else jnp.dtype(dtype)
+            self.dtype = _default_float() if dtype is None else jnp.dtype(dtype)
         else:
             self._col_src = jnp.asarray(col)
             n = self._col_src.shape[0]
@@ -154,7 +165,9 @@ class ToeplitzOperator(LinearOperator):
     @property
     def col(self):
         if callable(self._col_src):
-            self._col_src = jnp.asarray(self._col_src())
+            # evaluate OUTSIDE any live trace (see CirculantOperator.c)
+            with jax.ensure_compile_time_eval():
+                self._col_src = jnp.asarray(self._col_src())
         return self._col_src
 
     @property
@@ -162,7 +175,8 @@ class ToeplitzOperator(LinearOperator):
         if self._row_src is None:
             return self.col
         if callable(self._row_src):
-            self._row_src = jnp.asarray(self._row_src())
+            with jax.ensure_compile_time_eval():
+                self._row_src = jnp.asarray(self._row_src())
         return self._row_src
 
     @property

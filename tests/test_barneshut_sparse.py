@@ -346,3 +346,48 @@ def test_bh_cg_gp_solve_roundtrip(rng):
     err = np.linalg.norm(np.asarray(alpha) - alpha_exact)
     err /= np.linalg.norm(alpha_exact)
     assert err < 0.05, err
+
+
+def test_barneshut_arbitrary_order_far_field(rng):
+    # order=p far field for p >= 3 (tensor node moments, the real
+    # algorithm behind the reference's unused PowersArray scaffold,
+    # src/taylor.jl:62-85): error strictly decreases with order at fixed
+    # theta on signed weights, and order 3/4 agree with order 2's far
+    # field structure (same tree, same frontier) while being tighter
+    from cfjax.kernels import EQ
+    from cfjax.barneshut import BarnesHutFactorization
+    from cfjax.utils.testing import pairwise
+
+    n = 1200
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    w = jnp.asarray(rng.standard_normal(n))  # signed
+    exact = np.asarray(pairwise(EQ(), x, x)) @ np.asarray(w)
+    errs = {}
+    # theta <= 0.4: inside the Taylor-convergent regime (at wider opening
+    # angles the Gaussian's series about far centers is pre-convergent and
+    # raising the order buys nothing — that is physics, not a bug)
+    for order in (1, 2, 3, 4):
+        F = BarnesHutFactorization(EQ(), x, theta=0.3, group_size=32,
+                                   order=order)
+        b = np.asarray(F @ w)
+        errs[order] = np.linalg.norm(b - exact) / np.linalg.norm(exact)
+    assert errs[3] < 0.7 * errs[2]
+    assert errs[4] < 0.7 * errs[3]
+    assert errs[4] < 2e-3
+
+
+def test_barneshut_high_order_linear_operator(rng):
+    # fixed_centers keeps EVERY moment linear in w at any order: the
+    # order-4 matvec_linear must be additive/homogeneous to fp precision
+    from cfjax.kernels import EQ
+    from cfjax.barneshut import BarnesHutFactorization
+
+    n = 800
+    x = jnp.asarray(rng.standard_normal((n, 2)))
+    F = BarnesHutFactorization(EQ(), x, theta=0.5, group_size=32, order=4)
+    u = jnp.asarray(rng.standard_normal(n))
+    v = jnp.asarray(rng.standard_normal(n))
+    mv = lambda t: np.asarray(F._matvec(t, fixed_centers=True))
+    lhs = mv(2.0 * u + 3.0 * v)
+    rhs = 2.0 * mv(u) + 3.0 * mv(v)
+    np.testing.assert_allclose(lhs, rhs, rtol=5e-5, atol=5e-5)

@@ -382,3 +382,23 @@ def test_sharded_pcg_matches_single_device(rng):
                                rtol=1e-7, atol=1e-9)
     # reduction-order ulps can shift the stopping point by an iteration
     assert abs(int(it_sh) - int(it_1)) <= 3 and int(it_sh) < 150
+
+
+def test_nuts_host_matches_jitted_moments(rng):
+    """Host-loop NUTS (one device program PER leapfrog — for likelihoods
+    whose single evaluation is minutes of device time, e.g. full-n SLQ
+    logML in the config-5 demo) targets the same distribution as the
+    jitted sampler: moments agree on a correlated Gaussian."""
+    from cfjax.gp.hmc import nuts_sample_host
+
+    cov = jnp.asarray([[1.0, 0.7], [0.7, 2.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda th: -0.5 * th @ (prec @ th)
+    s, astat = nuts_sample_host(
+        logp, jnp.zeros(2), jax.random.PRNGKey(0),
+        num_samples=1500, num_warmup=400, max_tree_depth=6)
+    assert 0.5 < float(astat) <= 1.0
+    s = np.asarray(s)
+    assert np.all(np.abs(s.mean(0)) < 0.25)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov),
+                               rtol=0.35, atol=0.15)
