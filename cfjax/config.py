@@ -28,6 +28,17 @@ class Config:
     # iterative solver defaults
     cg_maxiter: int = 1000
     cg_tol: float = 1e-8
+    # For LARGE eager solves (b.size >= cg_chunk_min_n, not under jit),
+    # cg runs its while_loop in host-driven segments of this many
+    # iterations: one monolithic 60+ s device program is fragile on
+    # remote-execution runtimes (RPC deadline -> device error, observed
+    # on the v5e tunnel at n = 10^6 x 60 CG iters) and no faster.
+    # Under jit (tracer inputs) chunking is ignored. 8 iterations keeps a
+    # segment under ~30 s at n = 10^6 (the axon worker kills executions
+    # somewhere in the 60-85 s range — 8-iter segments pass, 24-iter
+    # segments crash the worker; measured r4).
+    cg_chunk_iters: int = 8
+    cg_chunk_min_n: int = 1 << 18
     # MXU input precision for distance/inner-product tiles. TPU matmuls
     # ingest f32 at bf16 by default, which puts ~7e-3 relative error on
     # dense-MVM outputs and can break the PSD-ness Cholesky needs

@@ -53,11 +53,29 @@ def _lanczos_batch(matvec, Z, iters: int):
         return (q_cur, q_next, beta, V), (alpha, beta)
 
     V0 = V0.at[0].set(q)
-    (_, _, _, _), (alphas, betas) = lax.scan(
-        step,
-        (jnp.zeros_like(q), q, jnp.zeros((p,), dtype=Z.dtype), V0),
-        jnp.arange(iters),
-    )
+    init = (jnp.zeros_like(q), q, jnp.zeros((p,), dtype=Z.dtype), V0)
+
+    from .. import config as _config
+
+    if (n >= _config.DEFAULT.cg_chunk_min_n
+            and not isinstance(Z, jax.core.Tracer)):
+        # host-segmented sweep for large eager problems: one monolithic
+        # scan of `iters` heavy matmats is a multi-minute device program
+        # (remote runtimes kill it at n >= 2^20); the basis carry stays
+        # on device between segments
+        seg = max(1, _config.DEFAULT.cg_chunk_iters)
+        carry = init
+        a_parts, b_parts = [], []
+        for s0 in range(0, iters, seg):
+            idx = jnp.arange(s0, min(s0 + seg, iters))
+            carry, (a, b) = lax.scan(step, carry, idx)
+            a_parts.append(a)
+            b_parts.append(b)
+        alphas = jnp.concatenate(a_parts)
+        betas = jnp.concatenate(b_parts)
+        return alphas, betas[:-1], nrm
+
+    (_, _, _, _), (alphas, betas) = lax.scan(step, init, jnp.arange(iters))
     return alphas, betas[:-1], nrm
 
 
@@ -125,16 +143,15 @@ def _slq_fwd(matvec_fn, n, probes, iters, solve_tol, solve_maxiter,
 
 def _slq_bwd(matvec_fn, n, probes, iters, solve_tol, solve_maxiter,
              res, gbar):
-    from .solvers import cg
+    from .solvers import cg_columns
 
     params, Z = res
-    mv1 = lambda v: matvec_fn(params, v[:, None])[:, 0]
-
-    def solve_one(z):
-        w, _ = cg(mv1, z, tol=solve_tol, maxiter=solve_maxiter)
-        return w
-
-    W = jax.vmap(solve_one, in_axes=1, out_axes=1)(Z)  # K^-1 Z
+    # batched multi-RHS CG: one kernel-tile evaluation per iteration for
+    # all probes, host-chunked for large eager solves (the vmap-of-cg
+    # equivalent fuses into one monolithic while_loop whose multi-minute
+    # runtime remote-execution runtimes kill at n >= 2^20)
+    W, _ = cg_columns(lambda V: matvec_fn(params, V), Z,
+                      tol=solve_tol, maxiter=solve_maxiter)  # K^-1 Z
     # (1/p) sum_i w_i^T dK z_i == vjp of params -> K(params) Z at W/p
     _, pull = jax.vjp(lambda p_: matvec_fn(p_, Z), params)
     (gparams,) = pull(W * (gbar / probes))

@@ -41,10 +41,6 @@ def cg(matvec, b, x0=None, tol: float = None, maxiter: int = None, M=None):
     p0 = z0
     gamma0 = jnp.vdot(r0, z0)
 
-    def cond(state):
-        x, r, z, p, gamma, i = state
-        return (i < maxiter) & (jnp.vdot(r, r).real > atol2)
-
     def body(state):
         x, r, z, p, gamma, i = state
         Ap = matvec(p)
@@ -57,8 +53,113 @@ def cg(matvec, b, x0=None, tol: float = None, maxiter: int = None, M=None):
         p = z + beta * p
         return (x, r, z, p, gamma_new, i + 1)
 
-    x, r, z, p, gamma, i = lax.while_loop(cond, body, (x0, r0, z0, p0, gamma0, 0))
+    state = (x0, r0, z0, p0, gamma0, 0)
+    chunk = _config.DEFAULT.cg_chunk_iters
+    big_eager = (
+        chunk
+        and b.size >= _config.DEFAULT.cg_chunk_min_n
+        and not isinstance(b, jax.core.Tracer)
+        and not isinstance(x0, jax.core.Tracer)
+    )
+    if big_eager:
+        # host-driven segments: one monolithic while_loop of 60+ heavy
+        # MVM iterations is a single multi-minute XLA execution, which
+        # remote-execution runtimes kill (RPC deadline -> "TPU device
+        # error", reproduced on the v5e tunnel at n=10^6). Each segment
+        # is its own device program; two scalar syncs per segment. The
+        # segment bound rides IN the carry (not the closure: while_loop
+        # caches on cond/body identity and would bake the first value).
+        def cond_seg(s):
+            x, r, z, p, gamma, i, stop = s
+            return (i < stop) & (jnp.vdot(r, r).real > atol2)
+
+        def body_seg(s):
+            return body(s[:6]) + (s[6],)
+
+        atol2_f = float(atol2)
+        i_now = 0
+        while True:
+            seg = state + (jnp.asarray(min(i_now + chunk, maxiter)),)
+            state = lax.while_loop(cond_seg, body_seg, seg)[:6]
+            i_now = int(state[5])
+            if i_now >= maxiter or float(jnp.vdot(state[1], state[1]).real) <= atol2_f:
+                break
+        x, r = state[0], state[1]
+        return x, (state[5], jnp.linalg.norm(r))
+
+    def cond(state):
+        x, r, z, p, gamma, i = state
+        return (i < maxiter) & (jnp.vdot(r, r).real > atol2)
+
+    x, r, z, p, gamma, i = lax.while_loop(cond, body, state)
     return x, (i, jnp.linalg.norm(r))
+
+
+def cg_columns(matvec, B, tol: float = None, maxiter: int = None):
+    """Multi-RHS CG: solve A X = B column-by-column IN ONE batched
+    recurrence (per-column alphas/betas, converged columns frozen by
+    masking) so the operator sees (n, p) matmats and kernel tiles are
+    evaluated once per iteration for all p columns — the batched
+    equivalent of `vmap(cg)` over columns, plus the same host-chunked
+    segmenting as `cg` for large eager solves (one monolithic batched
+    while_loop at n = 10^6 is a multi-minute device program; remote
+    runtimes kill it). Returns (X, iterations)."""
+    tol = _config.DEFAULT.cg_tol if tol is None else tol
+    maxiter = _config.DEFAULT.cg_maxiter if maxiter is None else maxiter
+    B = jnp.asarray(B)
+    atol2 = (tol * jnp.linalg.norm(B, axis=0)) ** 2    # (p,)
+
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    P0 = B
+    g0 = jnp.sum(R0 * R0, axis=0)
+
+    def body(s):
+        X, R, P, g, i = s
+        live = jnp.sum(R * R, axis=0) > atol2          # (p,)
+        AP = matvec(P)
+        pAp = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(live, g / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        X = X + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        g_new = jnp.sum(R * R, axis=0)
+        beta = jnp.where(live, g_new / jnp.where(g != 0, g, 1.0), 0.0)
+        P = jnp.where(live[None, :], R + beta[None, :] * P, P)
+        g = jnp.where(live, g_new, g)
+        return (X, R, P, g, i + 1)
+
+    state = (X0, R0, P0, g0, 0)
+    chunk = _config.DEFAULT.cg_chunk_iters
+    big_eager = (
+        chunk
+        and B.size >= _config.DEFAULT.cg_chunk_min_n
+        and not isinstance(B, jax.core.Tracer)
+    )
+    if big_eager:
+        def cond_seg(s):
+            X, R, P, g, i, stop = s
+            return (i < stop) & jnp.any(jnp.sum(R * R, axis=0) > atol2)
+
+        def body_seg(s):
+            return body(s[:5]) + (s[5],)
+
+        i_now = 0
+        while True:
+            seg = state + (jnp.asarray(min(i_now + chunk, maxiter)),)
+            state = lax.while_loop(cond_seg, body_seg, seg)[:5]
+            i_now = int(state[4])
+            done = bool(jnp.all(jnp.sum(state[1] * state[1], axis=0)
+                                <= atol2))
+            if i_now >= maxiter or done:
+                break
+        return state[0], state[4]
+
+    def cond(s):
+        X, R, P, g, i = s
+        return (i < maxiter) & jnp.any(jnp.sum(R * R, axis=0) > atol2)
+
+    X, R, P, g, i = lax.while_loop(cond, body, state)
+    return X, i
 
 
 def minres(matvec, b, x0=None, tol: float = None, maxiter: int = None):

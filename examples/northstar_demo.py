@@ -13,7 +13,7 @@ Pipeline:
        - non-quick mode additionally runs BOTH large-n checks at the
          FULL n through the lazy operator stack (no subsampling, no
          cap): ONE SLQ logML value+gradient evaluation, timed, and a
-         SHORT NUTS chain (8 post-warmup samples, reduced SLQ knobs —
+         SHORT NUTS chain (8 post-warmup samples after 3 warmup, reduced SLQ knobs —
          printed) over that full-n SLQ logML, with its accept-stat,
          wall-clock, and posterior mean +- sd compared against the
          subset chain. The SLQ estimate is stochastic, so the short
@@ -120,7 +120,7 @@ def main(n: int = 1 << 20, quick: bool = False):
         # jitted chain at this n would be one multi-hour XLA execution.
         from cfjax.gp.hmc import nuts_sample_host
 
-        kn = dict(probes=2, iters=12, tol=1e-2, maxiter=25)
+        kn = dict(probes=2, iters=10, tol=3e-2, maxiter=15)
 
         def logpost_full(theta):
             lp = logml_full(theta, kn["probes"], kn["iters"], kn["tol"],
@@ -133,7 +133,7 @@ def main(n: int = 1 << 20, quick: bool = False):
             jnp.log(jnp.asarray([l_hat, v_hat])),
             jax.random.PRNGKey(3),
             num_samples=8,
-            num_warmup=4,
+            num_warmup=3,
             max_tree_depth=2,
             init_step=0.02,
             verbose=True,

@@ -655,3 +655,56 @@ def test_gmres_preconditioned_true_residual(rng):
     bnorm = float(jnp.linalg.norm(b))
     assert abs(float(res) - true_res) <= 1e-6 * bnorm
     assert true_res <= 1e-7 * bnorm
+
+
+def test_grid_gramian_construction_is_lazy(rng, monkeypatch):
+    """gramian() on uniform grids must not evaluate ANY kernel column at
+    construction (reference constructs its Kronecker-of-grid gramians in
+    23 us because nothing evaluates until use, src/algebra.jl:91-95);
+    the column thunk fires on first MVM/solve use only."""
+    import cfjax.operators.dispatch as dispatch
+    from cfjax.kernels import EQ, Exp, separable
+    from cfjax.operators.kronecker import KroneckerOperator
+    from cfjax.operators.toeplitz import ToeplitzOperator
+    from cfjax.utils.grids import LazyGrid, UniformGrid
+
+    calls = []
+    real = dispatch._grid_col
+    monkeypatch.setattr(dispatch, "_grid_col",
+                        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    g = UniformGrid(0.0, 1.0 / 256, 256)
+    T = gramian(Exp(), g)
+    assert isinstance(T, ToeplitzOperator)
+    grid = LazyGrid(tuple(UniformGrid(0.0, 1.0 / 16, 16) for _ in range(3)))
+    K = gramian(separable("^", EQ(), d=3), grid)
+    assert isinstance(K, KroneckerOperator)
+    assert calls == []   # construction evaluated nothing
+    a = jnp.asarray(rng.standard_normal(256))
+    _ = T @ a
+    assert len(calls) == 1   # first use evaluates exactly one column
+
+
+def test_cg_host_chunked_matches_monolithic(rng):
+    """Host-chunked CG (large eager solves run the while_loop in
+    host-driven segments — a single 60+ s device program trips remote
+    runtimes' RPC deadlines, observed at n=1e6 on chip) must return the
+    same solution and iteration count as the monolithic loop."""
+    import cfjax.config as cfg
+    from cfjax.operators.solvers import cg
+
+    n = 512
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray(A @ A.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda v: A @ v
+    x_mono, (it_mono, res_mono) = cg(mv, b, tol=1e-10, maxiter=400)
+    old = cfg.DEFAULT
+    try:
+        cfg.set_config(cg_chunk_min_n=1, cg_chunk_iters=7)
+        x_chunk, (it_chunk, res_chunk) = cg(mv, b, tol=1e-10, maxiter=400)
+    finally:
+        cfg.set_config(**{f.name: getattr(old, f.name)
+                          for f in __import__("dataclasses").fields(old)})
+    assert int(it_chunk) == int(it_mono)
+    np.testing.assert_allclose(np.asarray(x_chunk), np.asarray(x_mono),
+                               rtol=1e-10, atol=1e-12)
