@@ -379,12 +379,20 @@ def bench_barneshut():
 
     sigma2 = 1e-2
     k5 = Lengthscale(EQ(), 1.0)
-    yv = jnp.sin(x3[:, 0]) + 0.1 * w3
-    G5 = gramian(k5, x3)
+    # config-5 geometry (northstar demo): n=1e6 points over a 20x20 box.
+    # NOT clustered standard-normal points: there lambda_max(K) ~ 1e6
+    # puts sigma^2/lambda_max BELOW f32 eps, and no f32-REPRESENTED
+    # rank-space preconditioner can damp the top modes (the projection
+    # residue v - U t is smaller than U's own representation error —
+    # measured divergence r4; that regime needs refined_solve's f64
+    # residuals, not a better M).
+    x5 = jnp.asarray(rng.uniform(-10, 10, (n3, 2)), dtype=jnp.float32)
+    yv = jnp.sin(x5[:, 0]) + 0.1 * w3
+    G5 = gramian(k5, x5)
     rank5 = 1024
-    nystrom_preconditioner(k5, x3, sigma2, rank=rank5)  # warm the build jits
+    nystrom_preconditioner(k5, x5, sigma2, rank=rank5)  # warm the build jits
     t0 = time.perf_counter()
-    M5 = nystrom_preconditioner(k5, x3, sigma2, rank=rank5)
+    M5 = nystrom_preconditioner(k5, x5, sigma2, rank=rank5)
     record(f"nystrom_precond_build_rank{rank5}_n1e6", time.perf_counter() - t0,
            float("nan"),
            note="config-5 critical path: device-f32 Nystrom build (f32 "
@@ -395,10 +403,10 @@ def bench_barneshut():
     # NO outer jit: it would bake the (n, rank) panel closure into one
     # compile request (HTTP 413 over the remote-compile tunnel at
     # rank >= 1024); cg's while_loop passes it as an operand instead
-    alpha, (it0, res0) = cg(Kmv, yv, tol=1e-4, maxiter=60, M=M5)
+    alpha, (it0, res0) = cg(Kmv, yv, tol=1e-4, maxiter=100, M=M5)
     jax.block_until_ready(alpha)
     t0 = time.perf_counter()
-    alpha, (iters5, res5) = cg(Kmv, yv, tol=1e-4, maxiter=60, M=M5)
+    alpha, (iters5, res5) = cg(Kmv, yv, tol=1e-4, maxiter=100, M=M5)
     jax.block_until_ready(alpha)
     dt5 = time.perf_counter() - t0
     relres = float(res5) / float(jnp.linalg.norm(yv))

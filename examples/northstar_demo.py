@@ -169,7 +169,7 @@ def main(n: int = 1 << 20, quick: bool = False):
 
     Mv = lambda v: M(v) / v_hat   # P ~ v (K + sigma^2/v I)
     t0 = time.time()
-    alpha, (iters, res) = cg(Kmv, y, tol=1e-4, maxiter=60, M=Mv)
+    alpha, (iters, res) = cg(Kmv, y, tol=1e-4, maxiter=100, M=Mv)
     jax.block_until_ready(alpha)
     print(
         f"PCG (n={n}, exact lazy MVM): {time.time()-t0:.1f}s, {int(iters)} "
