@@ -177,6 +177,16 @@ def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
     B = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
     s, E = np.linalg.eigh(0.5 * (B + B.T))
     s = np.maximum(s, 0.0)
+    # cap the damping spectrum at what an f32 APPLY can represent: the
+    # apply computes (v - U t) whose top-mode residue is noise/(s+noise)
+    # of v — once s/noise exceeds ~1/(16 eps_f32) the residue drowns in
+    # U's own f32 representation error, the apply turns indefinite on
+    # those modes, and PCG DIVERGES (measured r4: the demo's inferred
+    # lengthscale 2.6 at n=2^20 hit exactly this). Capping leaves the
+    # top modes preconditioned down to cond ~ s_max/s_cap instead of 1:
+    # graceful extra iterations, never divergence.
+    s_cap = float(noise) / (16.0 * np.finfo(np.float32).eps)
+    s = np.minimum(s, s_cap)
     Ej = jnp.asarray(E.astype(np.float32))
     sj = jnp.asarray(s.astype(np.float32))
     nz = jnp.asarray(noise, U.dtype)
