@@ -45,15 +45,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _kernel_panel(k, xp, Z, block=8192):
-    """(n, r) kernel panel in bounded row blocks (one lax.map dispatch)."""
+def _u_panel(k, xp, Z, W0, block=8192):
+    """U = K_xz @ W0 built in fused row blocks: each block's kernel panel
+    is consumed by the (block, r) x (r, r) matmul inside the same lax.map
+    step, so the raw (n, r) panel P never materializes — peak device
+    memory is U itself plus one block. At n = 10^6 this is what makes
+    rank 2048 (8 GB U) fit in the 16 GB HBM; the r4 build held P AND U
+    (2x) and capped rank at 1024."""
     from ..utils.testing import pairwise_xy
+    from ..ops.tiles import matmul_p
 
     n, d = xp.shape
     nb = -(-n // block)
     xpad = jnp.pad(xp, ((0, nb * block - n), (0, 0)))
-    out = jax.lax.map(lambda xb: pairwise_xy(k, xb, Z),
-                      xpad.reshape(nb, block, d))
+    out = jax.lax.map(
+        lambda xb: matmul_p(pairwise_xy(k, xb, Z), W0, precision="highest"),
+        xpad.reshape(nb, block, d))
     return out.reshape(nb * block, -1)[:n]
 
 
@@ -151,7 +158,6 @@ def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
     host<->device traffic is ~3 MB instead of 2 GB."""
     from ..utils.grids import as_points
     from ..utils.testing import pairwise_xy
-    from ..ops.tiles import matmul_p
 
     seed = 0 if key is None else int(jax.random.randint(key, (), 0, 2**31 - 1))
     xp = jnp.asarray(as_points(x))
@@ -171,29 +177,36 @@ def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
     inv_sqrt = np.where(w > floor, 1.0 / np.sqrt(np.maximum(w, floor)), 0.0)
     W0 = jnp.asarray((V * inv_sqrt[None, :]).astype(np.float32))
 
-    P = _kernel_panel(k, xp, Z)                      # (n, r) f32, on device
-    U = matmul_p(P, W0, precision="highest")         # device f32 GEMM
+    U = _u_panel(k, xp, Z, W0)                       # (n, r) f32, on device
     hi, lo = _gram_ff(U)
     B = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
     s, E = np.linalg.eigh(0.5 * (B + B.T))
     s = np.maximum(s, 0.0)
-    # cap the damping spectrum at what an f32 APPLY can represent: the
+    # Floor the per-mode RESIDUE at what an f32 APPLY can represent: the
     # apply computes (v - U t) whose top-mode residue is noise/(s+noise)
     # of v — once s/noise exceeds ~1/(16 eps_f32) the residue drowns in
     # U's own f32 representation error, the apply turns indefinite on
     # those modes, and PCG DIVERGES (measured r4: the demo's inferred
-    # lengthscale 2.6 at n=2^20 hit exactly this). Capping leaves the
-    # top modes preconditioned down to cond ~ s_max/s_cap instead of 1:
-    # graceful extra iterations, never divergence.
+    # lengthscale 2.6 at n=2^20 hit exactly this). The flooring must be
+    # done by SCALING THE WOODBURY DENOMINATOR, d_i = s_i (s_cap+noise)/
+    # s_cap for s_i > s_cap (residue floor noise/(s_cap+noise) > 0), NOT
+    # by capping s_i while U keeps the true spectrum: min-capping makes
+    # the apply's eigenvalue (1 - s_i/(s_cap+noise))/noise NEGATIVE on
+    # every mode with s_i > s_cap + noise — an indefinite M that makes
+    # PCG diverge 400x in residual at overshoot ratios ~2e3 (ADVICE r4,
+    # verified numerically). Denominator scaling keeps M SPD with
+    # cond(M^-1 K) ~ s_max/s_cap: graceful extra iterations, never
+    # divergence.
     s_cap = float(noise) / (16.0 * np.finfo(np.float32).eps)
-    s = np.minimum(s, s_cap)
+    denom = np.where(s > s_cap, s * (s_cap + float(noise)) / s_cap,
+                     s + float(noise))
     Ej = jnp.asarray(E.astype(np.float32))
-    sj = jnp.asarray(s.astype(np.float32))
+    dj = jnp.asarray(denom.astype(np.float32))
     nz = jnp.asarray(noise, U.dtype)
 
     def apply(v):
         t = Ej.T @ (U.T @ v)
-        t = Ej @ (t / (sj + nz))
+        t = Ej @ (t / dj)
         return (v - U @ t) / nz
 
     return apply

@@ -80,6 +80,11 @@ class CirculantOperator(LinearOperator):
         (src/gramian.jl:186-189 builds the symbol eagerly but the
         Kronecker path src/algebra.jl:91-95 constructs lazily)."""
         if callable(c):
+            if num is None:
+                raise ValueError(
+                    "CirculantOperator with a callable symbol needs `num` "
+                    "(the size) — shape metadata must exist before the "
+                    "first column evaluation")
             self._c_src = c
             n = num
             self.dtype = _default_float() if dtype is None else jnp.dtype(dtype)
@@ -94,9 +99,11 @@ class CirculantOperator(LinearOperator):
         if callable(self._c_src):
             # evaluate OUTSIDE any live trace: first use may be inside a
             # jit (e.g. closure_convert of a consumer's matvec), and
-            # caching a tracer here leaks it out of its trace
+            # caching a tracer here leaks it out of its trace. Cast to
+            # the declared dtype so op.dtype seen before first evaluation
+            # stays truthful (ADVICE r4 low).
             with jax.ensure_compile_time_eval():
-                self._c_src = jnp.asarray(self._c_src())
+                self._c_src = jnp.asarray(self._c_src()).astype(self.dtype)
         return self._c_src
 
     @property
@@ -146,6 +153,12 @@ class ToeplitzOperator(LinearOperator):
         size): construction is then O(1) host work, no device dispatch —
         the column evaluates on first use (lazy, like the reference's
         Kronecker-factor gramians, src/algebra.jl:91-95)."""
+        if callable(col) or callable(row):
+            if num is None:
+                raise ValueError(
+                    "ToeplitzOperator with a callable col/row needs `num` "
+                    "(the size) — shape metadata must exist before the "
+                    "first column evaluation")
         if callable(col):
             self._col_src = col
             n = num
@@ -165,9 +178,15 @@ class ToeplitzOperator(LinearOperator):
     @property
     def col(self):
         if callable(self._col_src):
-            # evaluate OUTSIDE any live trace (see CirculantOperator.c)
+            # evaluate OUTSIDE any live trace (see CirculantOperator.c);
+            # cast to the declared dtype so pre-evaluation op.dtype stays
+            # truthful (ADVICE r4 low)
             with jax.ensure_compile_time_eval():
-                self._col_src = jnp.asarray(self._col_src())
+                self._col_src = jnp.asarray(self._col_src()).astype(self.dtype)
+            if self._col_src.shape[0] != self.shape[0]:
+                raise ValueError(
+                    f"lazy column evaluated to length "
+                    f"{self._col_src.shape[0]}, declared num={self.shape[0]}")
         return self._col_src
 
     @property
@@ -176,7 +195,11 @@ class ToeplitzOperator(LinearOperator):
             return self.col
         if callable(self._row_src):
             with jax.ensure_compile_time_eval():
-                self._row_src = jnp.asarray(self._row_src())
+                self._row_src = jnp.asarray(self._row_src()).astype(self.dtype)
+            if self._row_src.shape[0] != self.shape[0]:
+                raise ValueError(
+                    f"lazy row evaluated to length "
+                    f"{self._row_src.shape[0]}, declared num={self.shape[0]}")
         return self._row_src
 
     @property

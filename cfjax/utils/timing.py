@@ -115,17 +115,28 @@ def time_chained(step, v0, iters=(4, 36), normalize: bool = True,
 
         return lax.fori_loop(0, n, body, v)
 
+    def fetch(out):
+        # TRUE sync: a device->host transfer of one element cannot
+        # return before the computation finishes. block_until_ready is
+        # NOT enough here — on the axon tunnel a freshly compiled
+        # executable can slip back into async dispatch, in which case
+        # slope timing sees ~0 s at ANY trip count, doubles hi
+        # unboundedly, and queues hours of garbage on the worker
+        # (observed r5: hi reached 1.2e9 trips and wedged the chip).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.ravel(leaf)[:1])
+
     def sample(n, reps):
         nj = jnp.int32(n)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(nj, v0, consts))
+            fetch(run(nj, v0, consts))
             ts.append(time.perf_counter() - t0)
         return ts
 
     lo, hi = iters
-    jax.block_until_ready(run(jnp.int32(hi), v0, consts))  # compile + warm
+    fetch(run(jnp.int32(hi), v0, consts))  # compile + warm
     t_start = time.perf_counter()
     while True:
         ts_lo, ts_hi = [], []
@@ -139,7 +150,10 @@ def time_chained(step, v0, iters=(4, 36), normalize: bool = True,
         elapsed = time.perf_counter() - t_start
         budget_left = time_budget - elapsed
         # next round costs ~repeats * T(2*hi) ≈ 2 * repeats * median(ts_hi)
-        if 2 * repeats * statistics.median(ts_hi) > budget_left:
+        # hi cap: a slope still flat at 4096 chained trips is below
+        # jitter/4096 per application — bail with the upper bound
+        # instead of queueing ever-larger programs on the worker
+        if hi > 4096 or 2 * repeats * statistics.median(ts_hi) > budget_left:
             ub = max(delta, delta_ratio * jitter) / (hi - lo)
             raise MeasurementError(
                 f"slope {max(delta, 0.0) / (hi - lo):.3e}s/iter not separable "

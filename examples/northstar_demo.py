@@ -128,12 +128,13 @@ def main(n: int = 1 << 20, quick: bool = False):
             return lp - 0.5 * jnp.sum(theta**2)
 
         t0 = time.time()
+        ns_full, nw_full = 8, 3
         s_full, a_full = nuts_sample_host(
             logpost_full,
             jnp.log(jnp.asarray([l_hat, v_hat])),
             jax.random.PRNGKey(3),
-            num_samples=8,
-            num_warmup=3,
+            num_samples=ns_full,
+            num_warmup=nw_full,
             max_tree_depth=2,
             init_step=0.02,
             verbose=True,
@@ -141,8 +142,9 @@ def main(n: int = 1 << 20, quick: bool = False):
         lf, vf = float(jnp.mean(s_full[:, 0])), float(jnp.mean(s_full[:, 1]))
         lf_sd = float(jnp.std(s_full[:, 0]))
         print(
-            f"full-n NUTS ({time.time()-t0:.1f}s, n={n}, 8 samples after "
-            f"4 warmup, SLQ knobs {kn}): accept-stat={float(a_full):.2f}, "
+            f"full-n NUTS ({time.time()-t0:.1f}s, n={n}, {ns_full} samples "
+            f"after {nw_full} warmup, SLQ knobs {kn}): "
+            f"accept-stat={float(a_full):.2f}, "
             f"post log-lengthscale={lf:.3f}+-{lf_sd:.3f} "
             f"(subset chain: {float(jnp.mean(samples[:, 0])):.3f}+-"
             f"{l_sd:.3f}), post log-variance={vf:.3f}"
