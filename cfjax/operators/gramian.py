@@ -181,17 +181,22 @@ class Gramian(LinearOperator):
     def _pallas_ok(self):
         if self.use_pallas == "never":
             return False
-        from ..ops.pallas_mvm import pallas_supported, profile_vpu_cost
+        from ..ops.pallas_mvm import pallas_supported
 
         ok = pallas_supported(self.k, self.mode, self.x, self.y)
         if self.use_pallas == "always":
             return ok
-        # auto: the fused kernel wins only once the S = x yᵀ matmul
-        # dominates the per-entry profile work (VPU); measured crossover
-        # on v5e is d ≈ 16·profile_cost (EQ: d≳150, MaternP: d≳550).
-        # Below it XLA's fused matmul-expansion path is faster.
+        # auto (re-measured r5, both matmul precisions): whenever the
+        # path uses the MXU expansion at all (d > direct_sqdist_max_d),
+        # the fused kernel matches or beats XLA's lax.map expansion —
+        # at "highest" both run at the 6-pass matmul bound (d=64: pallas
+        # 2.38 ms vs XLA 2.63; d >= 256 tied), at "default" pallas sits
+        # on the VPU/MXU roofline where the XLA path spills K tiles.
+        # At d <= direct_sqdist_max_d the XLA path's unrolled difference
+        # form (no matmul, no 128-pad) wins — d=3 MaternP: 1.42 ms XLA
+        # vs 2.45 ms pallas.
         return (ok and self.shape[0] >= 2048
-                and self.x.shape[1] >= 16 * profile_vpu_cost(self.k))
+                and self.x.shape[1] > _config.DEFAULT.direct_sqdist_max_d)
 
     def _matvec(self, v):
         if v.ndim == 1 and self._pallas_ok():

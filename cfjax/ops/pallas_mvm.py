@@ -67,34 +67,14 @@ def pallas_decline_reason(g) -> str | None:
         return None
     if g.shape[0] < 2048:
         return f"n={g.shape[0]} < 2048 (XLA path faster at small n)"
-    dmin = 16 * profile_vpu_cost(g.k)
-    if g.x.shape[1] < dmin:
-        return (f"d={g.x.shape[1]} below crossover ~{dmin:.0f} for this "
-                "profile (XLA fused matmul-expansion is faster)")
+    from .. import config as _config
+
+    dmax = _config.DEFAULT.direct_sqdist_max_d
+    if g.x.shape[1] <= dmax:
+        return (f"d={g.x.shape[1]} <= direct_sqdist_max_d={dmax}: the XLA "
+                "path's unrolled difference form (no matmul, no 128-pad) "
+                "beats the fused kernel's padded MXU tile")
     return None
-
-
-def profile_vpu_cost(k) -> float:
-    """Rough VPU-op count per profile evaluation (transcendentals weighted
-    ~8x). Used by the auto dispatch: the fused Pallas matvec wins only once
-    the S = x yᵀ matmul dominates the elementwise profile work — measured
-    crossover on v5e is d ≈ 16·cost (EQ: d≳128; MaternP: d≳550)."""
-    name = type(k).__name__
-    table = {
-        "EQ": 9, "RQ": 11, "Cauchy": 6, "InverseMultiQuadratic": 8,
-        "Exp": 14, "GammaExp": 20, "MaternP": 35, "Dot": 2, "Line": 3,
-        "Polynomial": 6, "ExponentialDot": 10, "Power": 6,
-        # thin wrappers / combinators: cheap glue around the inner profile
-        "Lengthscale": 3, "Sum": 3, "Product": 3, "Chained": 6,
-    }
-    base = table.get(name, 24.0)
-    inner = [getattr(k, a) for a in ("k", "args") if hasattr(k, a)]
-    extra = 0.0
-    for item in inner:
-        for sub in item if isinstance(item, (tuple, list)) else [item]:
-            if hasattr(sub, "profile") or hasattr(sub, "is_mercer"):
-                extra += profile_vpu_cost(sub)
-    return base + extra
 
 
 def auto_tiles(dp: int, precision: str = None) -> tuple:
