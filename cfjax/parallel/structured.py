@@ -232,36 +232,38 @@ def sharded_bh_matvec(F, v, mesh: Mesh, axis: str = None):
     """b = F v with the target-group axis of every Barnes-Hut width
     bucket sharded over `axis` (TPU analogue of the reference's
     per-target threaded loop, src/barneshut.jl:88). Tree reductions +
-    source data are replicated; each device traverses only its groups."""
-    from ..barneshut.bh import bh_matvec
+    source data are replicated; each device contracts only its groups'
+    precomputed interaction lists (the r5 planned path — the frontier
+    walk happened once on the host at plan time)."""
+    from ..barneshut.bh import bh_matvec_planned
 
     axis = axis or mesh.axis_names[0]
     nd = mesh.shape[axis]
     t = F.tree
     wp = F._permuted_weights(jnp.asarray(v))
     flat = jnp.zeros((F._tgt_P,), dtype=F.dtype)
-    centers, radii = tuple(t.centers), tuple(t.radii)
-    for xg_b, gc_b, gr_b, rows_b, Fo in F.buckets:
+
+    def padg(a, pg):
+        return np.concatenate([a, np.repeat(a[-1:], pg, 0)]) if pg else a
+
+    for (xg_b, _, _, rows_b, _), (flv, fidx, lidx) in zip(F.buckets, F.plans):
         ng = xg_b.shape[0]
         pg = (-ng) % nd
-        xg_p = np.concatenate([xg_b, np.repeat(xg_b[-1:], pg, 0)]) if pg else xg_b
-        gc_p = np.concatenate([gc_b, np.repeat(gc_b[-1:], pg, 0)]) if pg else gc_b
-        gr_p = np.concatenate([gr_b, np.repeat(gr_b[-1:], pg, 0)]) if pg else gr_b
+        xg_p = padg(np.asarray(xg_b), pg)
+        fidx_p = tuple(jnp.asarray(padg(f, pg)) for f in fidx)
+        lidx_p = jnp.asarray(padg(lidx, pg))
 
-        fn = partial(bh_matvec, theta=F.theta, levels=t.levels,
-                     leafsize=t.leafsize, max_open=Fo,
-                     order=getattr(F, "order", 1))
+        fn = partial(bh_matvec_planned, far_levels=flv, levels=t.levels,
+                     leafsize=t.leafsize, order=getattr(F, "order", 1))
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(), P(axis), P(axis), P(axis), P(),
-                           P(), P(), P()),
-                 out_specs=(P(axis), P(axis)), check_vma=False)
-        def mv(k_, xg, gc, gr, pts, cs, rs, w_):
-            out, ovf = fn(k_, xg, gc, gr, pts, cs, rs, w_)
-            return out, ovf[None]
+                 in_specs=(P(), P(axis), tuple(P(axis) for _ in fidx_p),
+                           P(axis), P(), P()),
+                 out_specs=P(axis), check_vma=False)
+        def mv(k_, xg, fi, li, pts, w_):
+            return fn(k_, xg, fi, li, pts, w_)
 
-        out_g, _ = mv(F.k, jnp.asarray(xg_p), jnp.asarray(gc_p),
-                      jnp.asarray(gr_p), t.points, centers, radii, wp)
+        out_g = mv(F.k, jnp.asarray(xg_p), fidx_p, lidx_p, t.points, wp)
         out_g = out_g[:ng]
         flat = flat.at[jnp.asarray(rows_b.reshape(-1))].set(out_g.reshape(-1))
     out = jnp.zeros((F._tgt_P,), dtype=flat.dtype)
