@@ -768,8 +768,9 @@ def main():
             f.write(out)
     print(out)
     print(f"total wall: {time.time()-t_all:.1f}s")
-    with open(os.path.join(os.path.dirname(__file__), "results.json"), "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    if len(sys.argv) <= 1:  # partial runs must not clobber the full table
+        with open(os.path.join(os.path.dirname(__file__), "results.json"), "w") as f:
+            json.dump(RESULTS, f, indent=1)
 
 
 if __name__ == "__main__":
