@@ -77,17 +77,40 @@ def pallas_decline_reason(g) -> str | None:
     return None
 
 
+def _dot_nt(a, b, precision):
+    """a @ b.T inside a Mosaic kernel at any jax.lax.Precision. Mosaic's
+    dot_general lowers only DEFAULT and HIGHEST; Precision.HIGH (bf16_3x)
+    is realized manually: split each f32 operand into its bf16 head +
+    f32 residual and sum the three head/residual cross products (the
+    dropped residual x residual term is O(eps_bf16^2) ~ 1.5e-5 relative
+    — the same algorithm XLA's HIGH uses outside Pallas)."""
+    dn = (((1,), (1,)), ((), ()))
+    if precision == jax.lax.Precision.HIGH:
+        ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+        al = a - ah
+        bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+        bl = b - bh
+        d = lambda u, v: jax.lax.dot_general(
+            u, v, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
 def auto_tiles(dp: int, precision: str = None) -> tuple:
     """(tm, tn) row/col tile sizes by padded point dimension: sized so
     x/y tiles + the (tm, tn) kernel-tile temporaries fit VMEM (~16 MB)
     with double buffering. Swept on a v5e chip (n=16384):
     d=256 → 167 TF/s, d=512 → 182, d=1024 → 183 (93% of MXU peak).
     HIGHEST precision (6-pass bf16 splits) needs extra VMEM scratch —
-    one tile notch smaller (measured: (1024, 512) OOMs at d=1024)."""
+    one tile notch smaller (measured: (1024, 512) OOMs at d=1024); the
+    manual HIGH split holds 2x operand copies, sized like HIGHEST."""
     from .tiles import resolve_precision
     import jax as _jax
 
-    hi = resolve_precision(precision) == _jax.lax.Precision.HIGHEST
+    hi = resolve_precision(precision) in (_jax.lax.Precision.HIGHEST,
+                                         _jax.lax.Precision.HIGH)
     if dp <= 512:
         return (512, 512) if hi else (1024, 1024)
     if dp <= 1024:
@@ -112,10 +135,7 @@ def _mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, a_ref, o_ref, acc_ref, *, profile,
 
     xt = x_ref[:]          # (TM, d)
     yt = y_ref[:]          # (TN, d)
-    S = jax.lax.dot_general(
-        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )                      # (TM, TN)
+    S = _dot_nt(xt, yt, precision)       # (TM, TN)
     if mode == "iso":
         D = x2_ref[:] + y2_ref[:].reshape(1, -1) - 2.0 * S
         K = profile(jnp.maximum(D, 0.0))
@@ -229,33 +249,23 @@ def _grad_mvm_kernel(x_ref, y_ref, x2_ref, y2_ref, A_ref, t_ref, o_ref,
     xt = x_ref[:]          # (TM, dp)
     yt = y_ref[:]          # (TN, dp)
     At = A_ref[:]          # (TN, dp)
-    S = jax.lax.dot_general(
-        xt, yt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    P = jax.lax.dot_general(
-        xt, At, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    S = _dot_nt(xt, yt, precision)
+    P = _dot_nt(xt, At, precision)
     if mode == "iso":
         D = jnp.maximum(x2_ref[:] + y2_ref[:].reshape(1, -1) - 2.0 * S, 0.0)
         k1, k2 = _tile_d2(profile, D)
         W = k2 * (P - t_ref[:].reshape(1, -1))
         contrib = (
-            -2.0 * jnp.dot(k1, At, preferred_element_type=jnp.float32,
-                           precision=precision)
+            -2.0 * _dot_nt(k1, At.T, precision)
             - 4.0 * (
                 jnp.sum(W, axis=1, keepdims=True) * xt
-                - jnp.dot(W, yt, preferred_element_type=jnp.float32,
-                          precision=precision)
+                - _dot_nt(W, yt.T, precision)
             )
         )
     else:  # dot
         k1, k2 = _tile_d2(profile, S)
-        contrib = jnp.dot(k1, At, preferred_element_type=jnp.float32,
-                          precision=precision) + jnp.dot(
-            k2 * P, yt, preferred_element_type=jnp.float32,
-            precision=precision)
+        contrib = _dot_nt(k1, At.T, precision) + _dot_nt(k2 * P, yt.T,
+                                                         precision)
     acc_ref[:] += contrib
 
     @pl.when(j == n_j - 1)

@@ -27,6 +27,25 @@ def test_pallas_scalar_mvm_interpret(k, mode, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
 
 
+@pytest.mark.parametrize("prec", ["default", "high", "highest"])
+def test_pallas_scalar_mvm_precisions_interpret(prec, rng):
+    """Every precision tier lowers and computes correctly through the
+    kernel, including the MANUAL bf16_3x split for HIGH (Mosaic's
+    dot_general supports only DEFAULT/HIGHEST natively — _dot_nt). On
+    CPU interpret all tiers are exact f32, so this checks structure,
+    not rounding; the rounding ladder is measured on chip in
+    BENCHMARKS.md."""
+    n, m, d = 300, 270, 40
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((m, d)), dtype=jnp.float32)
+    a = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
+    out = pallas_gramian_matvec(EQ(), x, y, a, "iso", tm=128, tn=128,
+                                interpret=True, precision=prec)
+    ref = gramian_matvec(EQ(), x, y, a, "iso", 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("k,mode", [(EQ(), "iso"), (MaternP(2), "iso"), (Dot() ** 2, "dot")])
 def test_pallas_grad_mvm_interpret(k, mode, rng):
     n, m, d = 200, 170, 5
