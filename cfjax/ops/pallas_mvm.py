@@ -283,7 +283,8 @@ def auto_tiles_grad(dp: int, precision: str = None) -> tuple:
     from .tiles import resolve_precision
     import jax as _jax
 
-    hi = resolve_precision(precision) == _jax.lax.Precision.HIGHEST
+    hi = resolve_precision(precision) in (_jax.lax.Precision.HIGHEST,
+                                         _jax.lax.Precision.HIGH)
     if dp <= 128:
         return (512, 512) if hi else (4096, 256)
     if dp <= 512:

@@ -311,6 +311,35 @@ def test_sparse_gramian_width_tiers(rng):
     assert S.nnz == counts.sum()
 
 
+def test_bh_interaction_plan_partitions_sources(rng):
+    """The precomputed interaction plan must COVER every source exactly
+    once per target group: the leaf-descendant sets of all far nodes
+    (across levels) plus the still-open leaves partition the full leaf
+    set — no source double-counted, none dropped (the invariant that
+    makes the planned matvec equal the dynamic traversal)."""
+    n = 700
+    x = jnp.asarray(rng.standard_normal((n, 2)), dtype=jnp.float32)
+    F = BarnesHutFactorization(EQ(), x, theta=0.4)
+    t = F.tree
+    nleaf = 2**t.levels
+    for (xg_b, gc_b, gr_b, rows_b, _), (flv, fidx, lidx) in zip(
+            F.buckets, F.plans):
+        ng = np.asarray(gc_b).shape[0]
+        for g in range(ng):
+            covered = np.zeros(nleaf, dtype=int)
+            for li, l in enumerate(flv):
+                for node in fidx[li][g]:
+                    if node < 0:
+                        continue
+                    span = 2 ** (t.levels - l)
+                    covered[node * span:(node + 1) * span] += 1
+            for leaf in lidx[g]:
+                if leaf >= 0:
+                    covered[leaf] += 1
+            assert (covered == 1).all(), (
+                f"group {g}: min {covered.min()}, max {covered.max()}")
+
+
 def test_bh_fixed_centers_linear(rng):
     """matvec_linear must be exactly linear in v (CG/MINRES contract) and
     accurate; the default |w|-com matvec is only approximately linear."""
