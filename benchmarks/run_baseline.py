@@ -411,6 +411,13 @@ def bench_barneshut():
            note="warm wall clock, min of 3 fresh-point builds (device "
                 "tree build + host probes); first-ever build adds "
                 "one-time jit compiles")
+    t0 = time.perf_counter()
+    F.plans
+    record("barneshut_plan_build_n65536", time.perf_counter() - t0,
+           float("nan"),
+           note="one-time host interaction-plan sweep (r5: the "
+                "weight-independent traversal precomputed into static "
+                "gather lists; amortized over all MVMs)")
     dt = timed(F._matvec, w, iters=(2, 18))
     b = F @ w
     idx = rng.integers(0, n, 256)
@@ -442,6 +449,12 @@ def bench_barneshut():
     record("barneshut_build_n1e6_d2", best, float("nan"),
            note="warm wall clock, min of 3 fresh-point builds (device "
                 "tree build + host probes)")
+    t0 = time.perf_counter()
+    F3.plans
+    record("barneshut_plan_build_n1e6", time.perf_counter() - t0,
+           float("nan"),
+           note="one-time host interaction-plan sweep (amortized over "
+                "all MVMs)")
     dt3 = timed(F3._matvec, w3, iters=(2, 10))
     b3 = F3 @ w3
     idx3 = rng.integers(0, n3, 16)
@@ -495,8 +508,10 @@ def bench_barneshut():
                     "for the two r x r eigh); warm wall clock")
         # NO outer jit: it would bake the (n, rank) panel closure into one
         # compile request (HTTP 413 over the remote-compile tunnel at
-        # rank >= 1024); cg's while_loop passes it as an operand instead
-        alpha, (it0, res0) = cg(Kmv, yv, tol=1e-4, maxiter=maxit5, M=M5)
+        # rank >= 1024); cg's while_loop passes it as an operand instead.
+        # Warm the CG/MVM compiles with a 2-iteration run (a full warm
+        # solve would double the ~4-minute rank-1024 row).
+        alpha, (it0, res0) = cg(Kmv, yv, tol=1e-4, maxiter=2, M=M5)
         jax.block_until_ready(alpha)
         t0 = time.perf_counter()
         alpha, (iters5, res5) = cg(Kmv, yv, tol=1e-4, maxiter=maxit5, M=M5)
