@@ -207,7 +207,11 @@ def bench_dense_sweep():
             xh = np.asarray(x, dtype=np.float64)
             ah = np.asarray(a, dtype=np.float64)
             idx = rng.integers(0, n, 128)
-            Dx = ((xh[idx][:, None, :] - xh[None, :, :]) ** 2).sum(-1)
+            x2h = (xh * xh).sum(1)
+            # f64 matmul expansion (exact to ~1e-13 here); the broadcast
+            # difference form was a 17 GB host temp at d=1024
+            Dx = np.maximum(
+                x2h[idx, None] + x2h[None, :] - 2.0 * (xh[idx] @ xh.T), 0.0)
             exact = np.exp(-Dx / (2 * d)) @ ah
             for prec, passes, suffix in (("highest", 6, ""),
                                          ("default", 1, "_bf16")):
@@ -411,6 +415,7 @@ def bench_barneshut():
            note="warm wall clock, min of 3 fresh-point builds (device "
                 "tree build + host probes); first-ever build adds "
                 "one-time jit compiles")
+    F.buckets  # first-use device bucket gathers + their jit compiles
     t0 = time.perf_counter()
     F.plans
     record("barneshut_plan_build_n65536", time.perf_counter() - t0,
@@ -449,6 +454,7 @@ def bench_barneshut():
     record("barneshut_build_n1e6_d2", best, float("nan"),
            note="warm wall clock, min of 3 fresh-point builds (device "
                 "tree build + host probes)")
+    F3.buckets  # first-use device bucket gathers + their jit compiles
     t0 = time.perf_counter()
     F3.plans
     record("barneshut_plan_build_n1e6", time.perf_counter() - t0,
@@ -467,11 +473,21 @@ def bench_barneshut():
     record("barneshut_mvm_theta0.5_n1e6", dt3, float("nan"),
            note=f"rel err {err3:.2e} vs 16 exact rows")
     # config 5 deliverable: the n=1e6 GP solve (K + sigma^2 I) alpha = y.
-    # A solve THROUGH the approximate BH matvec is ill-posed at GP noise
-    # levels (its non-symmetric error ~1e-2 >> sigma^2 breaks CG/MINRES —
-    # measured relres 3e+1); the sound large-n solve is the EXACT lazy
-    # Gramian MVM + rank-r Nystrom-preconditioned CG (3-8 iterations on
-    # smooth kernels vs 400+ unpreconditioned).
+    # A solve THROUGH the approximate BH matvec is FUNDAMENTALLY unsound
+    # at GP noise levels: refinement/solve convergence needs the BH
+    # error's spectral norm below sigma^2, i.e. relative error below
+    # sigma^2/lambda_max ~ 6e-7 here, while BH gives ~1e-2. Measured
+    # three ways (r4: plain CG relres 3e+1; r5: BH-inner GMRES +
+    # exact-outer approx_refined_solve relres 1.0 after 6 outers; r5:
+    # Nystrom-preconditioned GMRES through the BH operator relres 1.0
+    # after 104 matvecs). The sound large-n solve is the EXACT lazy
+    # Gramian MVM (r5: direct-form Pallas kernel, 2.13 s/MVM at the
+    # ~13-slot VPU floor, 1.5x over XLA) + rank-r Nystrom PCG. Rank is
+    # HBM-capped at 2048 on one chip (8 GB panel; 12 GB panels OOM —
+    # the tunnel does not honor cross-executable donation), which caps
+    # the iteration count at the measured 45: the one-chip floor is
+    # ~45 x 2.2 s ~ 100 s. Below that needs more chips (panel + row
+    # sharding), not better code on this one.
     from cfjax.kernels import Lengthscale
     from cfjax.operators import cg, gramian, nystrom_preconditioner
 
@@ -496,7 +512,7 @@ def bench_barneshut():
     # the n=1e6 solve under 60 s). Rank 2048 (8 GB U panel) only fits
     # because the r5 build fuses panel x W0 per row block and never
     # materializes the raw panel (preconditioner._u_panel).
-    for rank5, maxit5 in ((1024, 100), (2048, 40)):
+    for rank5, maxit5 in ((1024, 100), (2048, 60)):
         nystrom_preconditioner(k5, x5, sigma2, rank=rank5)  # warm build jits
         t0 = time.perf_counter()
         M5 = nystrom_preconditioner(k5, x5, sigma2, rank=rank5)

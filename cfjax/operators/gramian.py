@@ -198,7 +198,26 @@ class Gramian(LinearOperator):
         return (ok and self.shape[0] >= 2048
                 and self.x.shape[1] > _config.DEFAULT.direct_sqdist_max_d)
 
+    def _pallas_direct_ok(self):
+        # small-d isotropic at LARGE n: the direct-form fused kernel
+        # (unrolled difference, no matmul) beats the XLA lax.map path
+        # 1.5x (measured r5: EQ d=2 n=1e6, 2.13 s vs 3.19 s, err 4e-7);
+        # below ~2^17 rows XLA wins (d=3 n=16384 MaternP: 1.42 ms XLA
+        # vs 1.48 ms direct — both at the calibrated VPU floor).
+        if self.use_pallas == "never":
+            return False
+        from ..ops.pallas_mvm import pallas_supported
+
+        return (self.mode == "iso" and self.x.shape[1] <= 8
+                and self.shape[0] >= (1 << 17)
+                and pallas_supported(self.k, self.mode, self.x, self.y))
+
     def _matvec(self, v):
+        if v.ndim == 1 and self._pallas_direct_ok():
+            from ..ops.pallas_mvm import pallas_gramian_matvec_direct
+
+            return pallas_gramian_matvec_direct(self.k, self.x, self.y, v,
+                                                tm=2048, tn=4096)
         if v.ndim == 1 and self._pallas_ok():
             from ..ops.pallas_mvm import pallas_gramian_matvec
 

@@ -45,23 +45,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _u_panel(k, xp, Z, W0, block=8192):
-    """U = K_xz @ W0 built in fused row blocks: each block's kernel panel
-    is consumed by the (block, r) x (r, r) matmul inside the same lax.map
-    step, so the raw (n, r) panel P never materializes — peak device
-    memory is U itself plus one block. At n = 10^6 this is what makes
-    rank 2048 (8 GB U) fit in the 16 GB HBM; the r4 build held P AND U
-    (2x) and capped rank at 1024."""
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("block",))
+def _u_fill_block(U, k, xp_padded, Z, W0, i0, n, block: int = 8192):
+    """One donated in-place block write U[i0:i0+block] = mask(K_bz @ W0).
+    i0/n are traced operands so the program compiles ONCE and runs for
+    every block."""
     from ..utils.testing import pairwise_xy
     from ..ops.tiles import matmul_p
 
-    n, d = xp.shape
-    nb = -(-n // block)
-    xpad = jnp.pad(xp, ((0, nb * block - n), (0, 0)))
-    out = jax.lax.map(
-        lambda xb: matmul_p(pairwise_xy(k, xb, Z), W0, precision="highest"),
-        xpad.reshape(nb, block, d))
-    return out.reshape(nb * block, -1)[:n]
+    xb = jax.lax.dynamic_slice_in_dim(xp_padded, i0, block)
+    Ub = matmul_p(pairwise_xy(k, xb, Z), W0, precision="highest")
+    rows = i0 + jnp.arange(block)
+    Ub = jnp.where((rows < n)[:, None], Ub.astype(U.dtype), 0.0)
+    return jax.lax.dynamic_update_slice_in_dim(U, Ub, i0, 0)
+
+
+def _u_panel_padded(k, xp_padded, Z, W0, n: int, block: int = 8192):
+    """U = K_xz @ W0 built in fused row blocks written IN PLACE into one
+    preallocated (nb*block, r) buffer via DONATED per-block jit calls —
+    guaranteed single-buffer peak (U + one block's temporaries). A
+    lax.fori_loop carry double-buffered the panel (2 x 12 GB OOM at
+    rank 3072, r5), and the r5 first cut's lax.map + reshape[:n]
+    slice-copy OOM'd rank 2048; the r4 build held the raw panel AND U
+    and capped rank at 1024. Each block's kernel panel is consumed by
+    the (block, r) x (r, r) matmul inside the same program — the raw
+    (n, r) panel never materializes. Rows >= n are zero-masked: callers
+    keep U PADDED and pad/slice only vectors."""
+    npad, d = xp_padded.shape
+    r = W0.shape[1]
+    nb = npad // block
+    U = jnp.zeros((npad, r), dtype=jnp.result_type(xp_padded.dtype,
+                                                   W0.dtype))
+    for i in range(nb):
+        U = _u_fill_block(U, k, xp_padded, Z, W0, jnp.int32(i * block),
+                          jnp.int32(n), block=block)
+    return U
 
 
 def _build_nystrom_hostf64(k, x_np, noise, rank, seed):
@@ -102,28 +120,35 @@ def _gram_ff(P, chunk: int = 2048):
     relative to the chunk norm); chunks combine into an (hi, lo) f32
     pair with compensated summation, so the cross-chunk accumulation is
     exact to ~eps^2. Net error ~1e-7 * ||G|| at n = 10^6 — f64-class,
-    computed entirely on device in f32 ops. Returns (hi, lo)."""
+    computed entirely on device in f32 ops. Returns (hi, lo).
+
+    P's rows must be a multiple of `chunk` OR the tail is processed as
+    one short chunk — P is NEVER padded/copied (an 8 GB panel's pad
+    copy OOM'd rank 2048 at n = 10^6, r5); chunks are read with
+    dynamic_slice so peak memory is P plus one (chunk, r) slice."""
     from ..ops.tiles import resolve_precision
 
     n, r = P.shape
-    nb = -(-n // chunk)
-    Pp = jnp.pad(P, ((0, nb * chunk - n), (0, 0)))
+    nfull = n // chunk
+    prec = resolve_precision("highest")
+    z = jnp.zeros((r, r), P.dtype)
 
-    def body(carry, Pc):
+    def accum(carry, Pc):
         hi, lo = carry
-        C = jax.lax.dot_general(
-            Pc, Pc, (((0,), (0,)), ((), ())),
-            precision=resolve_precision("highest"))
+        C = jax.lax.dot_general(Pc, Pc, (((0,), (0,)), ((), ())),
+                                precision=prec)
         s = hi + C
         # TwoSum compensation: t = C - (s - hi) is exact when |hi| >= |C|
         t = C - (s - hi)
-        return (s, lo + t), None
+        return (s, lo + t)
 
-    (hi, lo), _ = jax.lax.scan(
-        body,
-        (jnp.zeros((r, r), P.dtype), jnp.zeros((r, r), P.dtype)),
-        Pp.reshape(nb, chunk, r),
-    )
+    def body(i, carry):
+        Pc = jax.lax.dynamic_slice_in_dim(P, i * chunk, chunk)
+        return accum(carry, Pc)
+
+    hi, lo = jax.lax.fori_loop(0, nfull, body, (z, z))
+    if n - nfull * chunk:
+        hi, lo = accum((hi, lo), P[nfull * chunk:])
     return hi, lo
 
 
@@ -177,8 +202,14 @@ def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
     inv_sqrt = np.where(w > floor, 1.0 / np.sqrt(np.maximum(w, floor)), 0.0)
     W0 = jnp.asarray((V * inv_sqrt[None, :]).astype(np.float32))
 
-    U = _u_panel(k, xp, Z, W0)                       # (n, r) f32, on device
-    hi, lo = _gram_ff(U)
+    block = 8192
+    nb = -(-n // block)
+    npad = nb * block
+    xp_pad = jnp.pad(xp, ((0, npad - n), (0, 0)))
+    # U stays PADDED (rows >= n zero-masked) for its whole life: only
+    # vectors are padded/sliced per apply — never the 8 GB panel
+    U = _u_panel_padded(k, xp_pad, Z, W0, n=n, block=block)
+    hi, lo = _gram_ff(U, chunk=block)
     B = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
     s, E = np.linalg.eigh(0.5 * (B + B.T))
     s = np.maximum(s, 0.0)
@@ -205,8 +236,10 @@ def nystrom_preconditioner(k, x, noise, rank: int = 256, key=None,
     nz = jnp.asarray(noise, U.dtype)
 
     def apply(v):
-        t = Ej.T @ (U.T @ v)
+        vp = jnp.pad(v, (0, npad - n)) if npad != n else v
+        t = Ej.T @ (U.T @ vp)
         t = Ej @ (t / dj)
-        return (v - U @ t) / nz
+        out = (vp - U @ t) / nz
+        return out[:n] if npad != n else out
 
     return apply

@@ -218,6 +218,84 @@ def pallas_gramian_matvec(k, x, y, a, mode: str = "iso", tm: int = None, tn: int
     return out[:n, 0].astype(jnp.result_type(x.dtype, a.dtype))
 
 
+def _mvm_kernel_direct(x_ref, yT_ref, a_ref, o_ref, acc_ref, *, profile,
+                       d, n_j):
+    """Small-d isotropic tile: D computed by the UNROLLED difference form
+    (subtract-square-accumulate over the static d) — no matmul, no
+    128-granular padding, no expansion cancellation: exact in f32. The
+    y points arrive TRANSPOSED (d-major) so y_i broadcasts along lanes
+    without an in-kernel relayout."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xt = x_ref[:]                       # (TM, 8)  (d rows used)
+    yt = yT_ref[:]                      # (8, TN)
+    D = None
+    for i in range(d):
+        t = xt[:, i:i + 1] - yt[i:i + 1, :]     # (TM, TN) broadcast
+        t = t * t
+        D = t if D is None else D + t
+    K = profile(D)
+    acc_ref[:] += jnp.sum(K * a_ref[:].reshape(1, -1), axis=1,
+                          keepdims=True)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tm", "tn", "interpret"))
+def pallas_gramian_matvec_direct(k, x, y, a, tm: int = 1024,
+                                 tn: int = 1024, interpret: bool = False):
+    """b = K a for SMALL-d isotropic kernels via the direct difference
+    form fused in VMEM (the Pallas analogue of tiles.sqdist_tile's
+    d <= direct_sqdist_max_d branch): pure VPU work, exact f32 distances,
+    none of the padded-matmul cost that makes the expansion-form fused
+    kernel lose below the crossover. Single-RHS. Same padding contract
+    as pallas_gramian_matvec."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if a.ndim != 1:
+        raise ValueError("single-RHS only")
+    n, d = x.shape
+    m = y.shape[0]
+    if d > 8:
+        raise ValueError("direct-form kernel is for d <= 8")
+    f32 = jnp.float32
+    xp = jnp.pad(x, ((0, -n % tm), (0, 8 - d))).astype(f32)
+    yTp = jnp.pad(y.T, ((0, 8 - d), (0, -m % tn))).astype(f32)
+    ap = jnp.pad(a, (0, -m % tn)).astype(f32)[:, None]
+    Np = xp.shape[0]
+    Mp = yTp.shape[1]
+    n_i, n_j = Np // tm, Mp // tn
+
+    profile = lambda s: k.profile_value(s)
+    out = pl.pallas_call(
+        partial(_mvm_kernel_direct, profile=profile, d=d, n_j=n_j),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((tm, 8), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, 1), f32),
+        scratch_shapes=[pltpu.VMEM((tm, 1), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, yTp, ap)
+
+    return out[:n, 0].astype(jnp.result_type(x.dtype, a.dtype))
+
+
 def _tile_d2(profile, S):
     """(f'(S), f''(S)) elementwise on a 2-D tile via nested jvp — array-level
     ops only (no vmap/reshape), which Mosaic lowers cleanly."""
