@@ -433,7 +433,8 @@ def bench_barneshut():
     exact = rows @ w
     err = float(jnp.linalg.norm(b[jnp.asarray(idx)] - exact) / jnp.linalg.norm(exact))
     record("barneshut_mvm_theta0.5_n65536", dt, 0.083,
-           note=f"rel err {err:.2e} (ref 1.2e-2); irregular gather-bound")
+           note=f"rel err {err:.2e} (ref 1.2e-2); planned static "
+                "interaction lists (r5) — no per-MVM traversal")
     F2 = BarnesHutFactorization(EQ(), x, theta=0.25)
     dt = timed(F2._matvec, w, iters=(2, 18))
     b2 = F2 @ w
@@ -661,15 +662,17 @@ def bench_logml():
         Lengthscale(EQ(), jnp.exp(lt)), x20, y20, noise=3e-1,
         method="slq", probes=4, lanczos_iters=24, solve_tol=1e-3,
         solve_maxiter=40))
-    jax.block_until_ready(hg(jnp.asarray(0.0))[1])
     t0 = time.perf_counter()
     vg20, g20 = hg(jnp.asarray(0.0))
     jax.block_until_ready(g20)
     record("logml_slq_eq_n2pow20_d2_grad", time.perf_counter() - t0,
            float("nan"),
-           note="n=1048576 lazy logML VALUE+GRAD (d logML / d log-"
-                "lengthscale via Hutchinson custom VJP + cg_columns); "
-                f"logML={float(vg20):.4g}, grad={float(g20):.4g}")
+           note="n=1048576 lazy logML VALUE+GRAD (Hutchinson custom VJP "
+                "+ batched cg_columns; per-block remat keeps the MVM "
+                "VJP O(n d) — without it the transpose stored O(n^2) "
+                "tile residuals and OOM'd, r5); single run incl one-"
+                f"time jit compiles; logML={float(vg20):.4g}, "
+                f"grad={float(g20):.4g}")
 
 
 def bench_refined():
@@ -693,19 +696,43 @@ def bench_refined():
     k = Lengthscale(EQ(), 1.0)
     G = gramian(k, x)
     M = nystrom_preconditioner(k, x, s2, rank=512)
-    xh = xn.astype(np.float64)
-    x2h = (xh * xh).sum(1)
     alpha_true = rng.standard_normal(n)
 
+    # hi-precision exact MVM on the CPU backend in f64 (XLA CPU exp is
+    # vectorized/multithreaded; the numpy version spent ~100 s/MVM in
+    # single-threaded exp)
+    cpu = jax.devices("cpu")[0]
+    blk = 2048
+    nbh = -(-n // blk)
+
+    def _mv_hi_jit():
+        import jax.numpy as jnp2
+
+        def f(xh, v):
+            x2h = jnp2.sum(xh * xh, axis=1)
+
+            def body(xb2):
+                xb, x2b = xb2
+                D = jnp2.maximum(
+                    x2b[:, None] + x2h[None, :] - 2.0 * (xb @ xh.T), 0.0)
+                return jnp2.exp(-0.5 * D) @ v
+
+            xpadh = jnp2.pad(xh, ((0, nbh * blk - n), (0, 0)))
+            x2p = jnp2.sum(xpadh * xpadh, axis=1)
+            out = jax.lax.map(body, (xpadh.reshape(nbh, blk, 2),
+                                     x2p.reshape(nbh, blk)))
+            return out.reshape(-1)[:n] + s2 * v
+
+        return jax.jit(f)
+
+    with jax.enable_x64(True), jax.default_device(cpu):
+        _mv_hi = _mv_hi_jit()
+        xh64 = jnp.asarray(xn, dtype=jnp.float64)
+
     def mv_hi_np(v):
-        v = np.asarray(v, dtype=np.float64)
-        out = np.empty(n)
-        blk = 512
-        for i in range(0, n, blk):
-            D = (x2h[i:i + blk, None] + x2h[None, :]
-                 - 2.0 * (xh[i:i + blk] @ xh.T))
-            out[i:i + blk] = np.exp(-0.5 * np.maximum(D, 0.0)) @ v
-        return out + s2 * v
+        with jax.enable_x64(True), jax.default_device(cpu):
+            return np.asarray(_mv_hi(xh64, jnp.asarray(
+                np.asarray(v, dtype=np.float64))))
 
     b_np = mv_hi_np(alpha_true)
     b = jnp.asarray(b_np)
@@ -768,11 +795,18 @@ def main():
         "0.00x ms — see cfjax/utils/timing.py). Each row carries analytic",
         "work (cfjax/utils/roofline.py): achieved TFLOP/s, the binding",
         "resource (MXU 197 TF/s bf16 at 128-granular K/N tiles | VPU",
-        "6.1e12 lane-op slots/s with per-op slot costs MEASURED in fused",
-        "context, benchmarks/calibrate_vpu.py | HBM 819 GB/s) and",
-        "%-of-roofline; rows implying > hardware peak are rejected.",
+        "6.1e12 lane-op slots/s with WHOLE-PROFILE slot costs MEASURED in",
+        "fused context, benchmarks/calibrate_vpu.py + calibration.txt |",
+        "HBM 819 GB/s) and %-of-roofline; rows implying > hardware peak",
+        "are rejected, and calibrated-VPU-bound rows beyond the slot",
+        "model's 10% error bar are rejected too (no >100%-of-VPU rows).",
         "'MXU-pad' = bound by the 128-granularity the MXU imposes on",
-        "small-d matmuls, not by useful math.",
+        "small-d matmuls, not by useful math. 'MXU/6x' (or /3x) = bound",
+        "by the configured matmul input precision's bf16 passes (library",
+        "default 'highest' = 6-pass f32-class accuracy; '_bf16' rows run",
+        "the 1-pass speed-of-light contract against the FULL roofline,",
+        "with their measured f64-oracle error in the note — see README",
+        "'Matmul precision model').",
         "",
         "| config | cfjax TPU | reference | speedup | TFLOP/s | roofline | note |",
         "|---|---|---|---|---|---|---|",

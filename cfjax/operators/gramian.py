@@ -102,7 +102,13 @@ def gramian_matvec(k, x, y, a, mode: str = "iso", block: int = 512):
         # matrix RHS: MXU matmul at the configured input precision
         return matmul_p(K, a)
 
-    out = lax.map(body, xb)
+    # checkpoint PER BLOCK: under reverse AD (the Hutchinson/quadform
+    # VJPs differentiate this MVM in the kernel params), lax.map's
+    # transpose otherwise saves each step's kernel-tile intermediates —
+    # O(n m) residual memory that OOMs at n = 2^18 (measured r5). With
+    # remat the residual per step is just the (block, d) points; tiles
+    # recompute during the backward sweep. Forward cost unchanged.
+    out = lax.map(jax.checkpoint(body), xb)
     return out.reshape((-1,) + a.shape[1:])[:n]
 
 
